@@ -1,0 +1,14 @@
+"""imgdupes_spark — a from-scratch PySpark-native near-duplicate detection
+and clustering engine with the query/data-processing capabilities of
+knjcode/imgdupes, re-expressed for source-code corpora at cluster scale.
+
+Reference semantics surveyed in SURVEY.md; the reference implementation
+(/root/reference) is an eager single-machine pipeline — this package is an
+idiomatic Spark DataFrame design, not a port.
+"""
+
+from imgdupes_spark.config import DedupeConfig
+
+__version__ = "0.1.0"
+
+__all__ = ["DedupeConfig", "__version__"]

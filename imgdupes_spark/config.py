@@ -1,0 +1,75 @@
+"""Pipeline configuration.
+
+The reference's config surface is CLI flags captured on the deduper object
+(reference: imgdupes:106-230, common/imagededuper.py:31-63). Here it is an
+explicit dataclass whose ``fingerprint()`` plays the role the reference's
+cache filename plays (common/imagededuper.py:66-75): any change to a
+semantics-bearing knob invalidates checkpoints keyed by it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupeConfig:
+    # --- fingerprinting (reference: hash_method/hash_bits, hashcache.py:130-141) ---
+    shingle_k: int = 5            # tokens per shingle (SimHash + MinHash input)
+    simhash_bits: int = 64        # one LongType word; Hamming via bit_count(xor)
+    minhash_perms: int = 128      # permutations per BASELINE.json north_star
+    hash_seed: int = 42           # matches Spark's xxhash64 default seed
+
+    # --- thresholds (reference: inclusive hamming threshold, imagededuper.py:207) ---
+    hamming_d: int = 4            # keep pairs with simhash Hamming <= d (inclusive)
+    jaccard_tau: float = 0.70     # keep pairs with estimated Jaccard >= tau
+
+    # --- LSH banding (replaces the reference's NGT/hnsw/faiss index, §2.3) ---
+    # b bands of r bits over the 64-bit simhash; pigeonhole guarantees any pair
+    # with Hamming distance < b collides in >= 1 band. b=8,r=8 covers d<=7.
+    simhash_bands: int = 8
+    # MinHash LSH: bands of rows over the 128-perm signature. 32 bands x 4 rows
+    # -> collision prob ~ 1-(1-j^4)^32; ~0.5 crossover at j≈0.40, near-1 by 0.7.
+    minhash_bands: int = 32
+
+    # --- skew handling (SURVEY.md §4 "explicit engineering") ---
+    # buckets larger than this get salted pair generation; also the cap above
+    # which a band bucket is considered boilerplate-degenerate.
+    max_bucket_size: int = 2000
+    salt_parts: int = 16
+
+    # --- grouping semantics ---
+    # "cc": distributed connected components (default; recall superset of the
+    # reference's one-hop star groups, SURVEY.md §2.4 G1).
+    # "star": driver-side greedy star parity mode reproducing
+    # common/imagededuper.py:195-221 exactly for golden tests.
+    grouping: str = "cc"
+
+    # --- containment pass (north_star suffix/substring stage) ---
+    containment_enabled: bool = True
+    containment_anchors: int = 2  # smallest-k shingle hashes used as probe keys
+
+    # --- per-set ordering (reference sort_image_list, imagededuper.py:418-460) ---
+    set_sort: str = "n_bytes"     # n_bytes | path | n_chars | n_lines | n_tokens
+    set_sort_reverse: bool = False
+
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def simhash_band_bits(self) -> int:
+        assert self.simhash_bits % self.simhash_bands == 0
+        return self.simhash_bits // self.simhash_bands
+
+    @property
+    def minhash_rows_per_band(self) -> int:
+        assert self.minhash_perms % self.minhash_bands == 0
+        return self.minhash_perms // self.minhash_bands
+
+    def fingerprint(self) -> str:
+        """Stable 16-hex config fingerprint for checkpoint invalidation."""
+        payload = asdict(self)
+        payload.pop("extra", None)
+        blob = json.dumps(payload, sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]

@@ -1,0 +1,160 @@
+"""Deterministic synthetic source-code corpus with planted duplicate
+structure (FIXTURES.md §1; SURVEY.md §7 M0).
+
+Produces the exact input_hint shape (repo, path, commit, lang, content) plus a
+companion truth table (repo, path, plant_kind, truth_group) recording each
+planted cluster. Plant kinds:
+
+  exact        identical content under different (repo, path)
+  near         1-5 token edits off a set base — within SimHash Hamming <= d
+  chain        A~B, B~C within d but A~C beyond d (star-vs-CC discriminator,
+               reference drop-if-grouped semantics common/imagededuper.py:208)
+  boiler       identical 20-line license header + unrelated bodies (hot LSH
+               bucket / skew trap; must NOT cluster at tight thresholds)
+  contain      B = prefix + A + suffix, token-contiguous (suffix pass target)
+  sentinel     empty / punctuation-only content (NULL fingerprint, quarantine)
+  single       unrelated singleton bulk
+
+Everything is driven by ``random.Random(seed)`` — same seed, same corpus,
+any process, any machine.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+
+import pandas as pd
+
+_WORDS = (
+    "data table row index key value buffer stream parse token merge split "
+    "load store cache flush commit offset shard range scan filter map fold "
+    "queue stack node edge graph hash bucket probe slot page block chunk "
+    "read write open close send recv retry limit count total state config"
+).split()
+
+_LICENSE = "\n".join(
+    f"# license line {i}: permission is hereby granted free of charge" for i in range(20)
+)
+
+
+def _synth_body(rng: random.Random, n_lines: int, tag: str) -> str:
+    lines = []
+    for i in range(n_lines):
+        w = rng.sample(_WORDS, 4)
+        kind = rng.randrange(4)
+        if kind == 0:
+            lines.append(f"def {w[0]}_{tag}_{i}({w[1]}, {w[2]}):")
+        elif kind == 1:
+            lines.append(f"    {w[0]} = {w[1]}.{w[2]}({w[3]}, {rng.randrange(100)})")
+        elif kind == 2:
+            lines.append(f"    if {w[0]} > {rng.randrange(50)}: return {w[1]}")
+        else:
+            lines.append(f"    for {w[0]} in {w[1]}: {w[2]}.append({w[3]})")
+    return "\n".join(lines)
+
+
+def _edit_tokens(rng: random.Random, text: str, n_edits: int) -> str:
+    """Rename n_edits identifier tokens — a token-level near-dup."""
+    toks = text.split(" ")
+    idxs = [i for i, t in enumerate(toks) if t and t[0].isalpha()]
+    rng.shuffle(idxs)
+    for i in idxs[:n_edits]:
+        toks[i] = "ren" + str(rng.randrange(10_000))
+    return " ".join(toks)
+
+
+@dataclass
+class CorpusSpec:
+    n_singletons: int = 300
+    n_exact_sets: int = 20
+    n_near_sets: int = 20
+    n_chains: int = 8
+    n_boiler: int = 40
+    n_contain: int = 10
+    n_sentinels: int = 4
+    n_repos: int = 12
+    skew_repo_factor: int = 5  # repo0 gets this multiple of singleton share
+    seed: int = 42
+
+
+def generate_corpus(spec: CorpusSpec | None = None) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Returns (corpus_df, truth_df) as pandas DataFrames."""
+    spec = spec or CorpusSpec()
+    rng = random.Random(spec.seed)
+    rows: list[tuple[str, str, str, str, str]] = []
+    truth: list[tuple[str, str, str, int]] = []
+    commit = "".join(rng.choice("0123456789abcdef") for _ in range(40))
+    group = 0
+
+    def repo_for(i: int) -> str:
+        # repo0 is skew_repo_factor x more likely — repo-skew trap
+        weights = [spec.skew_repo_factor] + [1] * (spec.n_repos - 1)
+        return f"org/repo{rng.choices(range(spec.n_repos), weights=weights)[0]}"
+
+    def add(repo: str, path: str, content: str, kind: str, grp: int) -> None:
+        rows.append((repo, path, commit, "py", content))
+        truth.append((repo, path, kind, grp))
+
+    for i in range(spec.n_singletons):
+        add(repo_for(i), f"src/single_{i}.py", _synth_body(rng, rng.randint(5, 40), f"s{i}"),
+            "single", -1)
+
+    for i in range(spec.n_exact_sets):
+        group += 1
+        base = _synth_body(rng, rng.randint(8, 30), f"e{i}")
+        for m in range(rng.randint(2, 4)):
+            add(repo_for(i), f"src/exact_{i}_{m}.py", base, "exact", group)
+
+    for i in range(spec.n_near_sets):
+        group += 1
+        base = _synth_body(rng, rng.randint(20, 40), f"n{i}")
+        add(repo_for(i), f"src/near_{i}_0.py", base, "near", group)
+        for m in range(1, rng.randint(2, 4)):
+            add(repo_for(i), f"src/near_{i}_{m}.py",
+                _edit_tokens(rng, base, rng.randint(1, 3)), "near", group)
+
+    for i in range(spec.n_chains):
+        group += 1
+        a = _synth_body(rng, 30, f"c{i}")
+        b = _edit_tokens(rng, a, 3)
+        c = _edit_tokens(rng, b, 3)
+        add(repo_for(i), f"src/chain_{i}_a.py", a, "chain", group)
+        add(repo_for(i), f"src/chain_{i}_b.py", b, "chain", group)
+        add(repo_for(i), f"src/chain_{i}_c.py", c, "chain", group)
+
+    for i in range(spec.n_boiler):
+        body = _synth_body(rng, rng.randint(15, 30), f"b{i}")
+        add(repo_for(i), f"src/boiler_{i}.py", _LICENSE + "\n" + body, "boiler", -1)
+
+    for i in range(spec.n_contain):
+        group += 1
+        inner = _synth_body(rng, 15, f"k{i}")
+        outer = (_synth_body(rng, 12, f"kp{i}") + "\n" + inner + "\n"
+                 + _synth_body(rng, 12, f"ks{i}"))
+        add(repo_for(i), f"src/contain_{i}_inner.py", inner, "contain", group)
+        add(repo_for(i), f"src/contain_{i}_outer.py", outer, "contain", group)
+
+    sentinel_contents = ["", "   \n\t  ", "!!! ??? ... ;;;", "§¶"]
+    for i in range(spec.n_sentinels):
+        add(repo_for(i), f"src/sentinel_{i}.py", sentinel_contents[i % len(sentinel_contents)],
+            "sentinel", -1)
+
+    corpus = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    truth_df = pd.DataFrame(truth, columns=["repo", "path", "plant_kind", "truth_group"])
+    return corpus, truth_df
+
+
+def corpus_from_documents(spark, sf_dir: str):
+    """Adapter: driver `documents` table -> corpus shape (FIXTURES.md §4:
+    text plays content, source plays repo)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )

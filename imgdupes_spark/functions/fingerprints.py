@@ -1,0 +1,142 @@
+"""Signatures stage: corpus rows -> (doc_id, sha256, simhash, minhash, stats).
+
+The reference computes one perceptual hash per file inside a process pool
+(reference: common/hashcache.py:47-72, pool at :97-101). Here the string work
+(normalize / tokenize / token hashing) stays JVM-side in whole-stage codegen
+(``lower``/``regexp_replace``/``split``/``transform``+``xxhash64``), and only
+the numeric fold (simhash/minhash over shingles) crosses to Python as ONE
+Arrow-batched pandas UDF — no per-row Python (BASELINE.json input_hint).
+
+Tokenization spec (shared with oracle.py):
+    lower(content) -> regexp_replace('[^0-9a-z]+', ' ') -> split whitespace,
+    drop empties. Tokens are therefore ascii [0-9a-z]+ runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from imgdupes_spark.config import DedupeConfig
+from imgdupes_spark.functions import kernels
+
+TOKEN_RE = "[^0-9a-z]+"
+
+_SIG_STRUCT = T.StructType(
+    [
+        T.StructField("simhash", T.LongType()),
+        T.StructField("minhash", T.ArrayType(T.IntegerType())),
+        T.StructField("n_shingles", T.LongType()),
+    ]
+)
+
+
+def tokens_col(content: Column) -> Column:
+    """JVM-side tokenization (codegen'd; no Python)."""
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(content), TOKEN_RE, " "), " "),
+        lambda t: t != F.lit(""),
+    )
+
+
+def doc_id_col() -> Column:
+    """Deterministic 64-bit doc id, stable across runs and cluster sizes
+    (SURVEY.md §4.3 — never ``monotonically_increasing_id``).
+
+    Scale note: a 64-bit id is collision-safe to ~10^9 docs; at the 10^12-file
+    target widen to 128 bits (e.g. a (hi, lo) pair of xxhash64 with distinct
+    salts) — same plan shape, wider key.
+    """
+    return F.xxhash64(F.col("repo"), F.col("path"), F.col("commit"))
+
+
+def make_fingerprint_udf(cfg: DedupeConfig):
+    """Scalar pandas UDF: array<long> token hashes -> struct(simhash, minhash,
+    n_shingles). Closes over only plain config values (picklable)."""
+    k = cfg.shingle_k
+    n_perms = cfg.minhash_perms
+    seed = cfg.hash_seed
+
+    @pandas_udf(_SIG_STRUCT)
+    def fingerprint(token_hashes: pd.Series) -> pd.DataFrame:
+        a, b = kernels.minhash_perms(n_perms, seed)
+        lists = [
+            np.asarray(v, dtype=np.int64) if v is not None else np.empty(0, dtype=np.int64)
+            for v in token_hashes
+        ]
+        sim, sig, n_sh = kernels.fingerprint_docs(lists, k, a, b)
+        empty = n_sh == 0
+        sim_out = pd.array(sim, dtype="Int64")
+        sim_out[empty] = pd.NA
+        mh_out = [None if e else row.tolist() for e, row in zip(empty, sig)]
+        return pd.DataFrame(
+            {
+                "simhash": sim_out,
+                "minhash": mh_out,
+                "n_shingles": pd.array(n_sh, dtype="Int64"),
+            }
+        )
+
+    return fingerprint
+
+
+def signatures(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """Corpus (repo, path, commit, lang, content) -> signatures table.
+
+    Output schema (SURVEY.md §1.5): doc_id, repo, path, commit, lang, sha256,
+    simhash, minhash, n_shingles, n_bytes, n_chars, n_lines, n_tokens.
+    Docs that produce no shingles (empty / no tokens) keep NULL simhash and
+    minhash — the out-of-band analogue of the reference's in-band [2]*bits
+    sentinel (common/hashcache.py:52-53); downstream stages filter them and
+    ``quarantine`` exposes them.
+
+    ``content`` is NOT in the output: column pruning drops it right after this
+    stage so every downstream shuffle moves 8-byte fingerprints, not file
+    bodies (SURVEY.md §4 "what Catalyst gives for free").
+    """
+    fp = make_fingerprint_udf(cfg)
+    toks = tokens_col(F.col("content"))
+    with_tok = corpus.select(
+        doc_id_col().alias("doc_id"),
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2(F.col("content"), 256).alias("sha256"),
+        F.octet_length(F.col("content")).cast("long").alias("n_bytes"),
+        F.length(F.col("content")).cast("long").alias("n_chars"),
+        (F.size(F.split(F.col("content"), "\n"))).cast("long").alias("n_lines"),
+        toks.alias("tokens"),
+    )
+    sig = with_tok.select(
+        "*",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.transform(F.col("tokens"), lambda t: F.xxhash64(t)).alias("token_hashes"),
+    ).withColumn("sig", fp(F.col("token_hashes")))
+    return sig.select(
+        "doc_id",
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "sha256",
+        F.col("sig.simhash").alias("simhash"),
+        F.col("sig.minhash").alias("minhash"),
+        F.col("sig.n_shingles").alias("n_shingles"),
+        "n_bytes",
+        "n_chars",
+        "n_lines",
+        "n_tokens",
+    )
+
+
+def quarantine(sig: DataFrame) -> DataFrame:
+    """Rows with no fingerprint (reference sentinel analogue) — explicit,
+    out-of-band, never cluster members."""
+    return sig.filter(F.col("simhash").isNull()).select(
+        "doc_id", "repo", "path", "commit", "sha256", F.lit("no_tokens").alias("reason")
+    )

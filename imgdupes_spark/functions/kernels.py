@@ -1,0 +1,222 @@
+"""Vectorized numpy fingerprint kernels — SimHash64 + MinHash128 over token
+shingles.
+
+These are the engine's analogue of the reference's perceptual-hash kernel
+(reference: common/hashcache.py:47-54 ``gen_hash`` and :113-127 ``phash_org``).
+Like pHash, SimHash is an LSH family whose fingerprint Hamming distance
+estimates input similarity (Charikar 2002); MinHash estimates Jaccard
+(Broder 1997). Everything here operates on *batches* of documents with no
+per-row Python (BASELINE.json input_hint): ragged per-doc token-hash arrays
+are concatenated and folded with ``np.add.reduceat`` / ``np.minimum.reduceat``.
+
+The same functions run inside the Spark pandas UDF (functions/fingerprints.py)
+and in the pure-Python oracle (oracle.py), so the fingerprint spec is defined
+once. Spec constants are pinned by tests/test_kernels.py known-vector tests.
+
+Spec (bit-reproducible, the build's analogue of the reference keeping
+``phash_org`` bit-stable — SURVEY.md §2.2 P3):
+  * token hashes: Spark ``xxhash64(token)`` seed 42, reinterpreted as uint64
+  * shingle hash: polynomial fold of k consecutive token hashes with odd
+    multiplier B = 0x9E3779B97F4A7C15 mod 2**64, then splitmix64 finalizer
+  * docs with 0 < n_tokens < k: one shingle over all n tokens
+  * docs with 0 tokens: no fingerprint (NULL / quarantine — the analogue of
+    the reference's unreadable-image sentinel, common/hashcache.py:52-53)
+  * shingle *set* semantics: duplicates within a doc are dropped before
+    folding (boilerplate repetition must not dominate the fingerprint)
+  * simhash bit b = 1 iff sum over unique shingles of (2*bit_b(s)-1) > 0
+  * minhash perm p: min over unique shingles of (a_p * s + b_p) >> 32
+    (odd a_p => bijection on Z_2^64; top-32 truncation), stored int32;
+    (a_p, b_p) drawn from numpy PCG64 seeded with ``seed``
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+
+def _wraps_uint64(fn):
+    """uint64 wraparound (mod 2**64) is the spec in these kernels."""
+
+    @functools.wraps(fn)
+    def inner(*args, **kwargs):
+        with np.errstate(over="ignore"):
+            return fn(*args, **kwargs)
+
+    return inner
+
+SHINGLE_B = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
+
+_SM1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM2 = np.uint64(0x94D049BB133111EB)
+
+
+@_wraps_uint64
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — avalanche so every simhash bit is fair."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= _SM1
+    x ^= x >> np.uint64(27)
+    x *= _SM2
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def minhash_perms(n_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) permutation parameters; a forced odd."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, 1 << 63, size=n_perms, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=n_perms, dtype=np.uint64)
+    return a, b
+
+
+@_wraps_uint64
+def shingle_hashes_batch(
+    tok_concat: np.ndarray, lengths: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shingle hashes for a batch of docs given concatenated token hashes.
+
+    tok_concat: uint64 (sum(lengths),) — xxhash64 token hashes, doc-major.
+    lengths:    int64 (ndocs,) — tokens per doc.
+    Returns (shingles_concat uint64, counts int64 per doc), doc-major.
+    """
+    tok_concat = tok_concat.astype(np.uint64, copy=False)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    ndocs = len(lengths)
+    n = len(tok_concat)
+    counts = np.where(lengths >= k, lengths - k + 1, np.where(lengths > 0, 1, 0))
+    total = int(counts.sum())
+    out = np.empty(total, dtype=np.uint64)
+    if total == 0:
+        return out, counts
+
+    # positional powers B^(k-1-j) for j in 0..k-1 (mod 2^64)
+    powers = np.empty(k, dtype=np.uint64)
+    p = np.uint64(1)
+    for j in range(k - 1, -1, -1):
+        powers[j] = p
+        p = p * SHINGLE_B
+
+    long_mask = lengths >= k
+    if n >= k and long_mask.any():
+        # full-window polynomial over the concatenated array, then keep only
+        # windows that do not cross a doc boundary
+        w = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):
+            w += tok_concat[j : n - k + 1 + j] * powers[j]
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), lengths)
+        valid = doc_of[: n - k + 1] == doc_of[k - 1 :]
+        long_slots = np.repeat(long_mask, counts)
+        out[long_slots] = mix64(w[valid])
+
+    # short docs (0 < length < k): one shingle folding all tokens
+    short_idx = np.nonzero((lengths > 0) & (lengths < k))[0]
+    if len(short_idx):
+        offsets = np.concatenate(([0], np.cumsum(lengths)))
+        out_offsets = np.concatenate(([0], np.cumsum(counts)))
+        for d in short_idx:
+            toks = tok_concat[offsets[d] : offsets[d + 1]]
+            h = np.uint64(0)
+            for t in toks:
+                h = h * SHINGLE_B + np.uint64(t)
+            out[out_offsets[d]] = mix64(np.array([h], dtype=np.uint64))[0]
+    return out, counts
+
+
+def unique_per_doc(
+    shingles: np.ndarray, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Set semantics: drop duplicate shingles within each doc (vectorized)."""
+    ndocs = len(counts)
+    if len(shingles) == 0:
+        return shingles, np.zeros(ndocs, dtype=np.int64)
+    doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+    order = np.lexsort((shingles, doc_of))
+    s = shingles[order]
+    d = doc_of[order]
+    keep = np.ones(len(s), dtype=bool)
+    keep[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+    u_s = s[keep]
+    u_d = d[keep]
+    u_counts = np.bincount(u_d, minlength=ndocs).astype(np.int64)
+    return u_s, u_counts
+
+
+@_wraps_uint64
+def simhash_fold(shingles: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-doc 64-bit SimHash; docs with 0 shingles get 0 (mask separately).
+
+    Returns int64 (ndocs,) — bit b set iff signed bit-vote sum > 0.
+    """
+    ndocs = len(counts)
+    sim = np.zeros(ndocs, dtype=np.uint64)
+    nz = counts > 0
+    if not nz.any():
+        return sim.view(np.int64)
+    offsets_all = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    off_nz = offsets_all[nz]
+    bit_ids = np.arange(64, dtype=np.uint64)
+    # process 16 bits at a time to bound the (n_shingles, bits) intermediate
+    acc = np.zeros((int(nz.sum()), 64), dtype=np.int64)
+    for lo in range(0, 64, 16):
+        chunk = bit_ids[lo : lo + 16]
+        bits = ((shingles[:, None] >> chunk) & np.uint64(1)).astype(np.int32)
+        votes = bits * 2 - 1
+        acc[:, lo : lo + 16] = np.add.reduceat(votes, off_nz, axis=0)
+    packed = ((acc > 0).astype(np.uint64) << bit_ids).sum(axis=1, dtype=np.uint64)
+    sim[nz] = packed
+    return sim.view(np.int64)
+
+
+@_wraps_uint64
+def minhash_fold(
+    shingles: np.ndarray, counts: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Per-doc MinHash signature, int32 (ndocs, n_perms); empty docs get -1."""
+    ndocs = len(counts)
+    n_perms = len(a)
+    sig = np.full((ndocs, n_perms), -1, dtype=np.int32)
+    nz = counts > 0
+    if not nz.any():
+        return sig
+    offsets_all = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    off_nz = offsets_all[nz]
+    out_nz = np.empty((int(nz.sum()), n_perms), dtype=np.uint64)
+    for lo in range(0, n_perms, 16):
+        hi = min(lo + 16, n_perms)
+        v = (shingles[:, None] * a[lo:hi] + b[lo:hi]) >> np.uint64(32)
+        out_nz[:, lo:hi] = np.minimum.reduceat(v, off_nz, axis=0)
+    sig[nz] = out_nz.astype(np.uint32).astype(np.int64).astype(np.int32)
+    return sig
+
+
+def fingerprint_docs(
+    token_hash_lists: list[np.ndarray],
+    k: int,
+    a: np.ndarray,
+    b: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full fingerprint pass for a batch of docs.
+
+    Returns (simhash int64, minhash int32 (ndocs, n_perms), n_shingles int64);
+    docs with no tokens have n_shingles == 0 (caller emits NULLs for them).
+    """
+    lengths = np.array([len(t) for t in token_hash_lists], dtype=np.int64)
+    if lengths.sum() == 0:
+        tok_concat = np.empty(0, dtype=np.uint64)
+    else:
+        tok_concat = np.concatenate(
+            [np.asarray(t, dtype=np.int64).view(np.uint64) for t in token_hash_lists if len(t)]
+        )
+    sh, counts = shingle_hashes_batch(tok_concat, lengths, k)
+    u_sh, u_counts = unique_per_doc(sh, counts)
+    sim = simhash_fold(u_sh, u_counts)
+    sig = minhash_fold(u_sh, u_counts, a, b)
+    return sim, sig, u_counts
+
+
+def hamming64(x: int, y: int) -> int:
+    """Hamming distance between two signed-int64 simhashes (oracle side)."""
+    return int(bin((x ^ y) & ((1 << 64) - 1)).count("1"))

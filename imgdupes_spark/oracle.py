@@ -1,0 +1,148 @@
+"""Pure-Python reference-semantics oracle (SURVEY.md §5.1).
+
+Re-implements the reference pipeline's observable semantics on small corpora,
+fully independently of Spark:
+
+  fingerprint   — same spec as the engine (tokenize -> xxh64 token hashes ->
+                  shingle/simhash/minhash kernels; kernels are shared numpy
+                  code, token hashing is the pure-Python XXH64 pinned equal to
+                  Spark's xxhash64 by tests/test_xxh64.py)
+  all-pairs     — brute-force Hamming (exact; upper-bounds the reference's own
+                  k-NN recall, which is approximate: k=20, eps=0.1,
+                  reference imgdupes:179-186)
+  star grouping — EXACTLY common/imagededuper.py:195-221: scan elements in
+                  sorted-filename order (imgdupes:67-68), inclusive threshold
+                  (:207), attach only ungrouped neighbors (:208 drops edges to
+                  grouped nodes; no merging)
+  CC grouping   — connected components over the same in-threshold edges (the
+                  engine's default mode; a recall superset of star groups)
+  canonical sort— common/imagededuper.py:403-415 (members sorted, groups
+                  sorted by member list, renumbered from 1)
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from imgdupes_spark.config import DedupeConfig
+from imgdupes_spark.functions import kernels
+from imgdupes_spark.xxh64 import xxh64_str
+
+_TOKEN_RE = re.compile(r"[^0-9a-z]+")
+
+
+def tokenize(content: str) -> list[str]:
+    """Same spec as fingerprints.tokens_col."""
+    return [t for t in _TOKEN_RE.sub(" ", content.lower()).split(" ") if t]
+
+
+def fingerprint(content: str, cfg: DedupeConfig) -> tuple[int | None, np.ndarray | None]:
+    """(simhash, minhash128) for one doc; (None, None) if no tokens."""
+    toks = tokenize(content)
+    if not toks:
+        return None, None
+    th = np.array([xxh64_str(t, cfg.hash_seed) for t in toks], dtype=np.int64)
+    a, b = kernels.minhash_perms(cfg.minhash_perms, cfg.hash_seed)
+    sim, sig, n_sh = kernels.fingerprint_docs([th], cfg.shingle_k, a, b)
+    if n_sh[0] == 0:
+        return None, None
+    return int(sim[0]), sig[0]
+
+
+def in_threshold_edges(
+    keys: list[str], simhashes: list[int | None], d: int
+) -> list[tuple[int, int]]:
+    """Brute-force all-pairs: indices (i, j), i<j, Hamming <= d (inclusive)."""
+    edges = []
+    n = len(keys)
+    for i in range(n):
+        if simhashes[i] is None:
+            continue
+        for j in range(i + 1, n):
+            if simhashes[j] is None:
+                continue
+            if kernels.hamming64(simhashes[i], simhashes[j]) <= d:
+                edges.append((i, j))
+    return edges
+
+
+def star_groups(keys: list[str], edges: list[tuple[int, int]]) -> dict[str, int]:
+    """Greedy star grouping per common/imagededuper.py:195-221.
+
+    keys must be pre-sorted (the reference's sorted-filename scan order);
+    returns key -> group id (>=1) for grouped members only.
+    """
+    n = len(keys)
+    nbrs: list[list[int]] = [[] for _ in range(n)]
+    for i, j in edges:
+        nbrs[i].append(j)
+        nbrs[j].append(i)
+    check = [0] * n  # 0 = ungrouped (reference check_list)
+    group_num = 1
+    groups: dict[int, list[int]] = {}
+    for i in range(n):
+        if check[i] != 0:  # :200-202 skip-visited
+            continue
+        for j in sorted(nbrs[i]):
+            if check[j] == 0:  # :208 drop edge to already-grouped node
+                if check[i] == 0:
+                    check[i] = group_num
+                    groups[group_num] = [i]
+                    group_num += 1
+                check[j] = check[i]
+                groups[check[i]].append(j)
+    return {keys[m]: g for g, ms in groups.items() for m in ms}
+
+
+def cc_groups(keys: list[str], edges: list[tuple[int, int]]) -> dict[str, int]:
+    """Connected components over the same edges; group id = min member index.
+    Members of multi-node components only (size-1 groups dropped, reference
+    print pads/skips singletons common/imagededuper.py:471-472)."""
+    parent = list(range(len(keys)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in edges:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+    roots: dict[int, list[int]] = {}
+    for i in range(len(keys)):
+        roots.setdefault(find(i), []).append(i)
+    return {keys[m]: r for r, ms in roots.items() if len(ms) > 1 for m in ms}
+
+
+def canonical_sets(groups: dict[str, int]) -> list[list[str]]:
+    """Canonical ordering per common/imagededuper.py:403-415: members sorted
+    within each set, sets sorted by member list, renumbered implicitly."""
+    by_group: dict[int, list[str]] = {}
+    for k, g in groups.items():
+        by_group.setdefault(g, []).append(k)
+    sets = [sorted(ms) for ms in by_group.values() if len(ms) > 1]
+    return sorted(sets)
+
+
+def dup_pairs(groups: dict[str, int]) -> set[tuple[str, str]]:
+    """All within-group pairs (the unit of the recall criterion)."""
+    by_group: dict[int, list[str]] = {}
+    for k, g in groups.items():
+        by_group.setdefault(g, []).append(k)
+    pairs = set()
+    for ms in by_group.values():
+        ms = sorted(ms)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs.add((ms[i], ms[j]))
+    return pairs
+
+
+def pair_recall(truth: set[tuple[str, str]], got: set[tuple[str, str]]) -> float:
+    if not truth:
+        return 1.0
+    return len(truth & got) / len(truth)

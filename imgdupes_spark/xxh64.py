@@ -1,0 +1,74 @@
+"""Pure-Python XXH64 matching Spark's ``F.xxhash64`` (seed 42) bit-for-bit.
+
+Implements the public xxHash specification (Yann Collet,
+github.com/Cyan4973/xxHash/blob/dev/doc/xxhash_spec.md). Used only on the
+oracle/test side so golden tests are fully independent of Spark; the engine
+itself hashes JVM-side via ``F.xxhash64`` (codegen'd, no Python in the hot
+path). Equality with Spark is pinned by tests/test_xxh64.py.
+"""
+
+from __future__ import annotations
+
+_MASK = (1 << 64) - 1
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 of ``data`` as an unsigned 64-bit int."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v = [
+            (seed + _P1 + _P2) & _MASK,
+            (seed + _P2) & _MASK,
+            seed & _MASK,
+            (seed - _P1) & _MASK,
+        ]
+        while i <= n - 32:
+            for j in range(4):
+                lane = int.from_bytes(data[i + 8 * j : i + 8 * j + 8], "little")
+                a = (v[j] + lane * _P2) & _MASK
+                v[j] = (_rotl(a, 31) * _P1) & _MASK
+            i += 32
+        h = (_rotl(v[0], 1) + _rotl(v[1], 7) + _rotl(v[2], 12) + _rotl(v[3], 18)) & _MASK
+        for vj in v:
+            h ^= (_rotl((vj * _P2) & _MASK, 31) * _P1) & _MASK
+            h = ((h * _P1) + _P4) & _MASK
+    else:
+        h = (seed + _P5) & _MASK
+    h = (h + n) & _MASK
+    while i <= n - 8:
+        lane = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl((lane * _P2) & _MASK, 31) * _P1) & _MASK
+        h = ((_rotl(h, 27) * _P1) + _P4) & _MASK
+        i += 8
+    if i <= n - 4:
+        lane = int.from_bytes(data[i : i + 4], "little")
+        h ^= (lane * _P1) & _MASK
+        h = ((_rotl(h, 23) * _P2) + _P3) & _MASK
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _MASK
+        h = (_rotl(h, 11) * _P1) & _MASK
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _MASK
+    h ^= h >> 29
+    h = (h * _P3) & _MASK
+    h ^= h >> 32
+    return h
+
+
+def xxh64_str(s: str, seed: int = 42) -> int:
+    """Signed-int64 XXH64 of a string's UTF-8 bytes — equals Spark's
+    ``xxhash64(lit(s))``."""
+    u = xxh64(s.encode("utf-8"), seed)
+    return u - (1 << 64) if u >= (1 << 63) else u

