@@ -1,0 +1,155 @@
+"""Cluster assembly, canonical ordering, per-set ranking, delete plan,
+summary — the reference's output stage re-expressed relationally.
+
+Reference counterparts:
+  sort_group           common/imagededuper.py:403-415  -> canonical_clusters
+  sort_image_list      common/imagededuper.py:418-460  -> set_rank window
+  keep-first/--noprompt common/imagededuper.py:517-518 -> delete_plan
+  summarize            common/imagededuper.py:386-400  -> summarize
+  subdir warning       common/imagededuper.py:499-505  -> cross_repo flag
+  print_duplicates     common/imagededuper.py:463-479  -> fdupes_text
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from imgdupes_spark.config import DedupeConfig
+from imgdupes_spark.operators.lsh import sha_representatives
+
+# reference sort_image_list keys (common/imagededuper.py:418-460):
+# filesize desc (default) / filepath asc / imagesize / width / height ->
+# code-corpus analogues n_bytes / path / n_chars / n_lines / n_tokens.
+# (column, descending_by_default)
+_SORT_KEYS = {
+    "n_bytes": (("n_bytes", True),),
+    "path": (("repo", False), ("path", False)),
+    "n_chars": (("n_chars", True),),
+    "n_lines": (("n_lines", True),),
+    "n_tokens": (("n_tokens", True),),
+}
+
+
+def assign_clusters(
+    sig: DataFrame, reps: DataFrame, components: DataFrame
+) -> DataFrame:
+    """Expand representative-level component labels back to every doc.
+
+    sig        full signatures table
+    reps       (sha256, rep_id) from sha_representatives
+    components (doc_id, cluster_id) over representatives that had edges
+
+    Every doc inherits its representative's component; representatives
+    without edges label themselves. cluster_id is then re-canonicalized to
+    min(doc_id) over the *full* membership and size-1 clusters are dropped
+    (reference prints multi-member sets only, common/imagededuper.py:471-472).
+    Quarantined docs (NULL fingerprint) never join a cluster — sha groups of
+    fingerprint-less docs are still exact dups, so they cluster iff their
+    sha group has >1 member.
+    """
+    rep_label = components.withColumnRenamed("doc_id", "rep_id")
+    labeled = (
+        sig.join(reps, ["sha256"])
+        .join(rep_label, ["rep_id"], "left")
+        .withColumn("component", F.coalesce(F.col("cluster_id"), F.col("rep_id")))
+        .drop("cluster_id")
+    )
+    w = Window.partitionBy("component")
+    return (
+        labeled.withColumn("cluster_id", F.min("doc_id").over(w))
+        .withColumn("cluster_size", F.count("*").over(w))
+        .filter(F.col("cluster_size") > 1)
+        .drop("component", "rep_id")
+    )
+
+
+def canonical_clusters(members: DataFrame) -> DataFrame:
+    """One row per cluster: members sorted within the set, sets numbered 1..n
+    by their sorted member list — exactly the reference's deterministic output
+    order (common/imagededuper.py:403-415).
+
+    Scale note: ``set_num`` is a global row_number (single-partition window) —
+    a presentation column for the fdupes-parity sink. It runs over the
+    *clusters* table (orders of magnitude smaller than docs); at-scale
+    consumers should key on ``cluster_id``, which needs no global ordering.
+    """
+    agg = members.groupBy("cluster_id").agg(
+        F.sort_array(
+            F.collect_list(F.concat_ws("/", F.col("repo"), F.col("path")))
+        ).alias("members"),
+        F.count("*").alias("n_members"),
+    )
+    w = Window.orderBy("members")
+    return agg.withColumn("set_num", F.row_number().over(w)).select(
+        "set_num", "cluster_id", "n_members", "members"
+    )
+
+
+def with_set_rank(members: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """Per-set ordering (reference sort_image_list): rank 1 = the member the
+    keep-first policy preserves. Reverse flips the configured key
+    (reference --reverse, common/imagededuper.py:419)."""
+    order = [
+        F.asc(col) if (desc == cfg.set_sort_reverse) else F.desc(col)
+        for col, desc in _SORT_KEYS[cfg.set_sort]
+    ]
+    # deterministic tie-break: path then doc_id
+    order += [F.asc("repo"), F.asc("path"), F.asc("doc_id")]
+    w = Window.partitionBy("cluster_id").orderBy(*order)
+    return members.withColumn("set_rank", F.row_number().over(w))
+
+
+def delete_plan(members: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """Keep-first plan (reference --noprompt keep-rank-1,
+    common/imagededuper.py:517-518). The engine never deletes rows — it emits
+    the plan (SURVEY.md §2.1 S7/S8)."""
+    ranked = with_set_rank(members, cfg)
+    return ranked.withColumn(
+        "action", F.when(F.col("set_rank") == 1, F.lit("keep")).otherwise(F.lit("delete"))
+    ).select("cluster_id", "doc_id", "repo", "path", "set_rank", "action", "n_bytes")
+
+
+def summarize(members: DataFrame) -> DataFrame:
+    """Reference summarize (common/imagededuper.py:386-400): duplicate-file
+    count, set count, total bytes of non-kept members. KB convention = /1000
+    (reference :397)."""
+    dup_only = members  # every member of a multi-member cluster is a duplicate file
+    return dup_only.agg(
+        F.count("*").alias("n_duplicate_files"),
+        F.countDistinct("cluster_id").alias("n_sets"),
+        F.sum("n_bytes").alias("total_bytes"),
+        (F.sum("n_bytes") / F.lit(1000.0)).alias("total_kb"),
+    )
+
+
+def cross_repo_flag(members: DataFrame) -> DataFrame:
+    """Reference subdir warning (common/imagededuper.py:499-505): flag sets
+    whose members span >1 repo."""
+    w = Window.partitionBy("cluster_id")
+    return members.withColumn(
+        "cross_repo", F.size(F.collect_set("repo").over(w)) > 1
+    )
+
+
+def fdupes_text(canonical: DataFrame, max_sets: int | None = None) -> str:
+    """Driver-side fdupes-format rendering (reference print_duplicates,
+    common/imagededuper.py:463-479): one member per line, blank line between
+    sets. Small result sets only — this is a presentation sink."""
+    rows = canonical.orderBy("set_num")
+    if max_sets is not None:
+        rows = rows.limit(max_sets)
+    blocks = ["\n".join(r.members) for r in rows.collect()]
+    return "\n\n".join(blocks) + ("\n" if blocks else "")
+
+
+def dedupe_members(sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """Full grouping pipeline: signatures -> candidate edges -> components ->
+    expanded multi-member cluster membership."""
+    from imgdupes_spark.operators.components import connected_components
+    from imgdupes_spark.operators.lsh import all_candidate_edges
+
+    reps = sha_representatives(sig)
+    edges = all_candidate_edges(sig, cfg)
+    comps = connected_components(edges)
+    return assign_clusters(sig, reps, comps)

@@ -1,0 +1,235 @@
+"""Candidate-pair generation: LSH banding replaces the reference's ANN index.
+
+The reference builds an NGT/hnsw/faiss index and runs one approximate k-NN
+probe per element (reference: common/imagededuper.py:174-236, :239-266,
+:300-327; k=20, eps=0.1 — a recall limiter). Here the same logical operator
+— "for each element, all neighbors within threshold" — is an *exact*
+distributed plan:
+
+  simhash path : split the 64-bit simhash into b bands of r bits; any pair
+                 with Hamming distance < b collides in >= 1 band (pigeonhole),
+                 so a self-equi-join on (band_id, band_key) followed by the
+                 codegen'd verify filter ``bit_count(xor) <= d`` finds every
+                 in-threshold pair (d <= b-1).
+  minhash path : classic MinHash LSH — xxhash64 over each band of the
+                 128-perm signature; verify by signature agreement >= tau.
+
+Skew engineering (SURVEY.md §4, explicit per north_rule):
+  1. exact pre-collapse — docs are first collapsed by sha256 to one
+     representative; identical boilerplate files (millions at corpus scale)
+     contribute ONE row to LSH instead of a quadratic hot bucket. Their
+     cluster membership is restored afterwards by the sha256 map, so recall
+     is unaffected.
+  2. salted pair generation — buckets larger than cfg.max_bucket_size are
+     split into s salt groups and pairs are generated per (g1 <= g2) salt-pair
+     task, spreading an m^2 bucket across s^2 tasks instead of one straggler.
+  3. AQE skew-join as backstop (enabled in session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from imgdupes_spark.config import DedupeConfig
+
+
+def sha_representatives(sig: DataFrame) -> DataFrame:
+    """One representative doc per distinct sha256 (min doc_id — deterministic).
+
+    Returns (sha256, rep_id). The reference has no such collapse (every file
+    is hashed and searched individually); at cluster scale it is the single
+    most important skew device.
+    """
+    return sig.groupBy("sha256").agg(F.min("doc_id").alias("rep_id"))
+
+
+def rep_signatures(sig: DataFrame, reps: DataFrame) -> DataFrame:
+    """Signatures restricted to representative docs with a valid fingerprint."""
+    return (
+        sig.join(reps, ["sha256"])
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .filter(F.col("simhash").isNotNull())
+        .drop("rep_id")
+    )
+
+
+def simhash_bands(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """Explode each doc into b (band_id, band_key) rows. band_key carries the
+    band bits; rows keep (doc_id, simhash) so verify needs no extra join."""
+    r = cfg.simhash_band_bits
+    mask = (1 << r) - 1
+    keys = F.array(
+        *[
+            (F.shiftrightunsigned(F.col("simhash"), r * i).bitwiseAND(F.lit(mask)))
+            for i in range(cfg.simhash_bands)
+        ]
+    )
+    return rep_sig.select(
+        "doc_id", "simhash", F.posexplode(keys).alias("band_id", "band_key")
+    )
+
+
+def minhash_bands(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """MinHash LSH rows: band_key = xxhash64 of each signature band slice."""
+    rpb = cfg.minhash_rows_per_band
+    keys = F.array(
+        *[
+            F.xxhash64(F.slice(F.col("minhash"), 1 + i * rpb, rpb))
+            for i in range(cfg.minhash_bands)
+        ]
+    )
+    return rep_sig.select(
+        "doc_id", "minhash", F.posexplode(keys).alias("band_id", "band_key")
+    )
+
+
+def _pairs_from_bands(bands: DataFrame, payload: str, cfg: DedupeConfig) -> DataFrame:
+    """Self-join band rows into candidate pairs (src < dst), salting hot
+    buckets. ``payload`` is the fingerprint column carried for verification.
+
+    Cold buckets (the overwhelming majority) take a plain equi-join; buckets
+    above cfg.max_bucket_size are pair-generated via (g1 <= g2) salt-pair
+    tasks so one boilerplate key cannot produce a straggler task.
+    """
+    s = cfg.salt_parts
+    sizes = bands.groupBy("band_id", "band_key").agg(F.count("*").alias("bucket_n"))
+    b = bands.join(sizes, ["band_id", "band_key"]).filter(F.col("bucket_n") > 1)
+
+    cold = b.filter(F.col("bucket_n") <= cfg.max_bucket_size)
+    l, r = cold.alias("l"), cold.alias("r")
+    cold_pairs = l.join(
+        r,
+        (F.col("l.band_id") == F.col("r.band_id"))
+        & (F.col("l.band_key") == F.col("r.band_key"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(
+        F.col("l.doc_id").alias("src"),
+        F.col("r.doc_id").alias("dst"),
+        F.col(f"l.{payload}").alias(f"src_{payload}"),
+        F.col(f"r.{payload}").alias(f"dst_{payload}"),
+    )
+
+    hot = b.filter(F.col("bucket_n") > cfg.max_bucket_size)
+    salted = hot.withColumn("g", F.pmod(F.xxhash64("doc_id"), F.lit(s)))
+    hl = salted.withColumn(
+        "g2", F.explode(F.sequence(F.col("g"), F.lit(s - 1)))
+    ).withColumnRenamed("g", "g1")
+    hr = salted.withColumn(
+        "g1", F.explode(F.sequence(F.lit(0), F.col("g")))
+    ).withColumnRenamed("g", "g2")
+    hot_pairs = (
+        hl.alias("l")
+        .join(
+            hr.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.g1") == F.col("r.g1"))
+            & (F.col("l.g2") == F.col("r.g2"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("src"),
+            F.col("r.doc_id").alias("dst"),
+            F.col(f"l.{payload}").alias(f"src_{payload}"),
+            F.col(f"r.{payload}").alias(f"dst_{payload}"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    return cold_pairs.unionByName(hot_pairs)
+
+
+def simhash_candidate_edges(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """Verified simhash edges: (src, dst, hamming, origin='simhash').
+
+    The verify filter is pure JVM whole-stage codegen — 64-bit XOR +
+    bit_count, the Spark analogue of the reference's byte-packed vectors
+    (common/imagededuper.py:186; SURVEY.md §4 X4). Inclusive threshold per
+    common/imagededuper.py:207.
+    """
+    assert cfg.hamming_d < cfg.simhash_bands, (
+        "pigeonhole guarantee requires d < number of bands"
+    )
+    pairs = _pairs_from_bands(simhash_bands(rep_sig, cfg), "simhash", cfg)
+    return (
+        pairs.dropDuplicates(["src", "dst"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("src_simhash").bitwiseXOR(F.col("dst_simhash"))),
+        )
+        .filter(F.col("hamming") <= cfg.hamming_d)
+        .select("src", "dst", "hamming", F.lit("simhash").alias("origin"))
+    )
+
+
+def minhash_candidate_edges(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """Verified minhash edges: (src, dst, jaccard_est, origin='minhash').
+
+    jaccard_est = fraction of agreeing signature positions (the standard
+    MinHash estimator); threshold tau is inclusive, mirroring the reference's
+    inclusive Hamming threshold.
+    """
+    pairs = _pairs_from_bands(minhash_bands(rep_sig, cfg), "minhash", cfg)
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("src_minhash"),
+            F.col("dst_minhash"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.dropDuplicates(["src", "dst"])
+        .withColumn("jaccard_est", agree / F.lit(cfg.minhash_perms))
+        .filter(F.col("jaccard_est") >= cfg.jaccard_tau)
+        .select("src", "dst", "jaccard_est", F.lit("minhash").alias("origin"))
+    )
+
+
+def exact_edges(sig: DataFrame, reps: DataFrame) -> DataFrame:
+    """d=0 edges implied by the sha256 collapse: every non-representative doc
+    connects to its representative (hamming 0, equal content)."""
+    return (
+        sig.join(reps, ["sha256"])
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select(
+            F.least("doc_id", "rep_id").alias("src"),
+            F.greatest("doc_id", "rep_id").alias("dst"),
+            F.lit(0).alias("hamming"),
+            F.lit("exact").alias("origin"),
+        )
+    )
+
+
+def all_candidate_edges(sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """Union of exact + simhash (+ minhash) edge passes over the collapsed
+    representative set, deduplicated on (src, dst) keeping the strongest
+    origin (exact > simhash > minhash)."""
+    reps = sha_representatives(sig)
+    rep_sig = rep_signatures(sig, reps)
+    e_exact = exact_edges(sig, reps)
+    e_sim = simhash_candidate_edges(rep_sig, cfg).select(
+        "src", "dst", "hamming", "origin"
+    )
+    e_min = minhash_candidate_edges(rep_sig, cfg).select(
+        "src", "dst", F.lit(None).cast("int").alias("hamming"), "origin"
+    )
+    ranked = (
+        e_exact.unionByName(e_sim)
+        .unionByName(e_min)
+        .withColumn(
+            "origin_rank",
+            F.when(F.col("origin") == "exact", 0)
+            .when(F.col("origin") == "simhash", 1)
+            .otherwise(2),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src", "dst").orderBy("origin_rank")
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("src", "dst", "hamming", "origin")
+    )

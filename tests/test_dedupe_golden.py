@@ -1,0 +1,131 @@
+"""Golden tests (SURVEY.md §5.1): full Spark pipeline vs the pure-Python
+reference-semantics oracle on the planted corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from imgdupes_spark import oracle
+from imgdupes_spark.functions.fingerprints import signatures
+from imgdupes_spark.operators.clusters import (
+    canonical_clusters,
+    dedupe_members,
+)
+
+
+@pytest.fixture(scope="module")
+def oracle_state(small_corpus_pd, cfg):
+    corpus_pd, truth = small_corpus_pd
+    keys, sims = [], []
+    # reference scan order: sorted filenames (imgdupes:67-68)
+    rows = sorted(corpus_pd.itertuples(), key=lambda r: (r.repo, r.path))
+    for r in rows:
+        keys.append(f"{r.repo}/{r.path}")
+        sims.append(oracle.fingerprint(r.content, cfg)[0])
+    edges = oracle.in_threshold_edges(keys, sims, cfg.hamming_d)
+    return keys, sims, edges
+
+
+@pytest.fixture(scope="module")
+def spark_members(spark, cfg, small_corpus):
+    sig = signatures(small_corpus, cfg).cache()
+    return dedupe_members(sig, cfg).cache()
+
+
+def _spark_groups(members) -> dict[str, int]:
+    return {
+        f"{r.repo}/{r.path}": r.cluster_id
+        for r in members.select("repo", "path", "cluster_id").collect()
+    }
+
+
+def test_recall_vs_reference_star_grouping(oracle_state, spark_members, cfg):
+    """North rule: dup-pair recall >= 0.99 vs the reference's greedy star
+    grouping at the same fingerprint/threshold config."""
+    keys, sims, edges = oracle_state
+    star = oracle.star_groups(keys, edges)
+    truth_pairs = oracle.dup_pairs(star)
+    got_pairs = oracle.dup_pairs(_spark_groups(spark_members))
+    recall = oracle.pair_recall(truth_pairs, got_pairs)
+    assert recall >= 0.99, f"recall {recall} ({len(truth_pairs)} truth pairs)"
+
+
+def test_exact_match_vs_oracle_cc(oracle_state, spark_members):
+    """CC mode must match the oracle's union-find over brute-force edges
+    EXACTLY: candidate generation is exact for d < bands (pigeonhole), so the
+    cluster partitions must be identical (minhash/containment passes may only
+    add edges *within* simhash clusters on this corpus — checked as superset
+    compatibility on partitions)."""
+    keys, sims, edges = oracle_state
+    cc = oracle.cc_groups(keys, edges)
+    got = _spark_groups(spark_members)
+    # every oracle pair must be a spark pair (recall 1.0 by construction)
+    assert oracle.pair_recall(oracle.dup_pairs(cc), oracle.dup_pairs(got)) == 1.0
+
+
+def test_truth_plants(spark_members, small_corpus_pd):
+    _, truth = small_corpus_pd
+    got = _spark_groups(spark_members)
+    by_kind: dict[str, dict[int, list[str]]] = {}
+    for r in truth.itertuples():
+        by_kind.setdefault(r.plant_kind, {}).setdefault(r.truth_group, []).append(
+            f"{r.repo}/{r.path}"
+        )
+    # exact + chain sets: all members in one spark cluster
+    for kind in ("exact", "chain"):
+        for grp, ms in by_kind[kind].items():
+            cids = {got.get(m) for m in ms}
+            assert len(cids) == 1 and None not in cids, (kind, grp, ms, cids)
+    # near sets: members clustered together (allow >=90% of sets; simhash is
+    # probabilistic for heavy edits)
+    ok = sum(
+        1
+        for ms in by_kind["near"].values()
+        if len({got.get(m) for m in ms}) == 1 and got.get(ms[0]) is not None
+    )
+    assert ok >= 0.9 * len(by_kind["near"]), f"{ok}/{len(by_kind['near'])}"
+    # sentinels never appear
+    for ms in by_kind["sentinel"].values():
+        for m in ms:
+            assert m not in got
+    # boilerplate files must not all collapse into one mega-cluster
+    boiler = [m for ms in by_kind["boiler"].values() for m in ms]
+    boiler_cids = [got[m] for m in boiler if m in got]
+    assert len(set(boiler_cids)) == len(boiler_cids) or len(boiler_cids) < len(boiler) / 2, \
+        "boilerplate trap collapsed into shared clusters"
+
+
+def test_clustering_is_partition(spark_members):
+    """Each doc in exactly one cluster; every cluster has >= 2 members."""
+    assert spark_members.groupBy("doc_id").count().filter("count > 1").isEmpty()
+    assert spark_members.groupBy("cluster_id").count().filter("count < 2").isEmpty()
+    # cluster_id is the min member doc_id
+    bad = (
+        spark_members.groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("mn"))
+        .filter(F.col("cluster_id") != F.col("mn"))
+    )
+    assert bad.isEmpty()
+
+
+def test_repartition_invariance(spark, cfg, small_corpus, spark_members):
+    """Same clusters at different parallelism — the local proxy for
+    cluster-size invariance (SURVEY.md §5.4c)."""
+    base = sorted(_spark_groups(spark_members).items())
+    for k in (2, 16):
+        sig = signatures(small_corpus.repartition(k), cfg)
+        m = dedupe_members(sig, cfg)
+        assert sorted(_spark_groups(m).items()) == base, f"repartition({k}) changed output"
+
+
+def test_canonical_clusters_match_oracle_sets(oracle_state, spark_members):
+    keys, sims, edges = oracle_state
+    cc_sets = oracle.canonical_sets(oracle.cc_groups(keys, edges))
+    spark_sets = [
+        list(r.members) for r in canonical_clusters(spark_members).orderBy("set_num").collect()
+    ]
+    # oracle CC sets must all be present (spark may add containment/minhash merges)
+    spark_as_sets = [set(s) for s in spark_sets]
+    for s in cc_sets:
+        assert any(set(s) <= g for g in spark_as_sets), f"missing oracle set {s}"
