@@ -1,0 +1,94 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: end-to-end dedup throughput (files/sec) on a synthetic code
+corpus sized to the scale factor (generated distributed, JVM-only — see
+imgdupes_spark.corpus.synthetic_corpus_spark), plus per-query wall times over
+the shared sf fixtures.
+
+Scaling protocol (BASELINE.md): run this same script with
+SPARK_GRAFT_CPUS=8 and =32 on the same input; scripts/scaling_bench.py
+automates that and reports the N->4N efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from imgdupes_spark.config import DedupeConfig
+from imgdupes_spark.corpus import synthetic_corpus_spark
+from imgdupes_spark.functions.fingerprints import signatures
+from imgdupes_spark.functions.text import text_profile
+from imgdupes_spark.operators.clusters import dedupe_members
+from imgdupes_spark.operators.knn import knn_bruteforce
+from imgdupes_spark.session import get_spark
+
+import __spark_entry__ as entry_mod
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    n_synth = max(1000, int(1_000_000 * sf))
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="imgdupes_spark_bench")
+    cfg = DedupeConfig()
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- headline: synthetic corpus end-to-end dedupe ---
+    corpus = synthetic_corpus_spark(spark, n_synth).persist()
+    n_files = timed("materialize_corpus", corpus.count)
+
+    sig = signatures(corpus, cfg).persist()
+    timed("signatures", sig.count)
+
+    t0 = time.time()
+    members = dedupe_members(sig, cfg)  # LSH passes only; containment timed separately
+    n_members = members.count()
+    e2e = time.time() - t0
+    timings["dedupe_lsh_cc"] = round(e2e, 3)
+    e2e_total = timings["signatures"] + timings["dedupe_lsh_cc"]
+
+    # --- shared-fixture queries (same code paths the driver cross-checks) ---
+    qs = entry_mod.queries()
+    for name in (
+        "exact_dup_clusters",
+        "near_dup_members",
+        "knn_bruteforce",
+        "token_counts",
+        "quality_profile",
+    ):
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    timed("text_profile_docs", lambda: text_profile(
+        entry_mod._docs(spark, sf_dir), content_col="text").count())
+
+    result = {
+        "metric": "e2e_dedupe_sec",
+        "value": round(e2e_total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_files": int(n_files),
+        "n_clustered_members": int(n_members),
+        "files_per_sec": round(n_files / e2e_total, 1),
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -145,6 +145,49 @@ def generate_corpus(spec: CorpusSpec | None = None) -> tuple[pd.DataFrame, pd.Da
     return corpus, truth_df
 
 
+def synthetic_corpus_spark(spark, n_docs: int, seed: int = 42):
+    """Deterministic synthetic code corpus generated DISTRIBUTED, entirely in
+    JVM expressions (no Python, no driver loop) — the bench-scale input.
+
+    Content for doc i: 30-250 tokens drawn from the word pool by
+    xxhash64(seed, i, position). Planted structure:
+      * i % 11 == 0 -> an exact twin under a different (repo, path)
+      * i % 17 == 0 -> a near twin with one appended token (Hamming-small)
+    Deterministic for a given (n_docs, seed) at any parallelism.
+    """
+    from pyspark.sql import functions as F
+
+    words = F.array(*[F.lit(w) for w in _WORDS])
+    nw = len(_WORDS)
+
+    base = spark.range(n_docs).select(
+        F.col("id"),
+        F.concat(F.lit("org/repo"), (F.pmod(F.xxhash64(F.lit(seed), "id"), F.lit(97))).cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), F.col("id").cast("string"), F.lit(".py")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.lit("py").alias("lang"),
+    )
+    n_tokens = (F.pmod(F.xxhash64(F.lit(seed + 1), "id"), F.lit(221)) + 30).cast("int")
+    content = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), n_tokens - 1),
+            lambda j: F.element_at(words, (F.pmod(F.xxhash64(F.lit(seed + 2), F.col("id"), j), F.lit(nw)) + 1).cast("int")),
+        ),
+    )
+    base = base.withColumn("content", content)
+
+    exact_twin = base.filter(F.col("id") % 11 == 0).withColumn(
+        "path", F.concat(F.lit("copy/"), F.col("path"))
+    ).withColumn("repo", F.concat(F.col("repo"), F.lit("_mirror")))
+    near_twin = (
+        base.filter(F.col("id") % 17 == 0)
+        .withColumn("path", F.concat(F.lit("near/"), F.col("path")))
+        .withColumn("content", F.concat(F.col("content"), F.lit(" nearedit"), F.col("id").cast("string")))
+    )
+    return base.unionByName(exact_twin).unionByName(near_twin).drop("id")
+
+
 def corpus_from_documents(spark, sf_dir: str):
     """Adapter: driver `documents` table -> corpus shape (FIXTURES.md §4:
     text plays content, source plays repo)."""

@@ -43,6 +43,44 @@ def tokens_col(content: Column) -> Column:
     )
 
 
+def mix64_col(x: Column) -> Column:
+    """JVM splitmix64 finalizer — bit-identical to kernels.mix64 (long
+    arithmetic wraps mod 2^64; session runs with ANSI off, session.py)."""
+    x = x.bitwiseXOR(F.shiftrightunsigned(x, 30)) * F.lit(-4658895280553007687)  # 0xBF58476D1CE4E5B9
+    x = x.bitwiseXOR(F.shiftrightunsigned(x, 27)) * F.lit(-7723592293110705685)  # 0x94D049BB133111EB
+    return x.bitwiseXOR(F.shiftrightunsigned(x, 31))
+
+
+def shingles_col(token_hashes: Column, k: int) -> Column:
+    """JVM-side shingle hashes: same spec as kernels.shingle_hashes_batch
+    (polynomial fold of k consecutive token hashes with SHINGLE_B, then
+    mix64; short docs fold all tokens into one shingle). Bit-parity with the
+    numpy kernel is pinned by tests/test_containment.py.
+
+    Used by the containment pass, which needs raw shingles rather than the
+    folded fingerprints — entirely whole-stage-codegen, no Python.
+    """
+    B = F.lit(-7046029254386353131)  # 0x9E3779B97F4A7C15 as signed int64
+    n = F.size(token_hashes)
+    poly_all = F.aggregate(
+        token_hashes, F.lit(0).cast("long"), lambda acc, t: acc * B + t
+    )
+    window_poly = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.aggregate(
+            F.slice(token_hashes, i + 1, k),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc * B + t,
+        ),
+    )
+    raw = (
+        F.when(n >= k, window_poly)
+        .when(n > 0, F.array(poly_all))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return F.transform(raw, mix64_col)
+
+
 def doc_id_col() -> Column:
     """Deterministic 64-bit doc id, stable across runs and cluster sizes
     (SURVEY.md §4.3 — never ``monotonically_increasing_id``).

@@ -1,0 +1,90 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, rolling document fingerprint.
+
+These extend the reference's capability surface (it only fingerprints); at
+100 TB the same corpus pass that computes dedup signatures also computes
+curation features, so these are all single-pass JVM expressions (no UDFs, no
+extra scans) designed to be selected alongside ``signatures``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from imgdupes_spark.functions.fingerprints import TOKEN_RE, tokens_col
+
+# tiny per-language stopword lists for the n-gram/stopword-ratio heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans"],
+    "es": ["el", "la", "los", "que", "es", "una", "por", "con"],
+}
+
+
+def token_count_col(content: Column) -> Column:
+    """Whitespace+punctuation token count (the BPE-ish proxy: [0-9a-z]+ runs)."""
+    return F.size(tokens_col(content)).cast("long")
+
+
+def quality_columns(content: Column) -> list[Column]:
+    """Length / punctuation / stopword / line-shape quality features,
+    each aliased; all pure string expressions (codegen)."""
+    n_chars = F.length(content)
+    n_alnum = F.length(F.regexp_replace(content, "[^0-9A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(content, "[^!-/:-@\\[-`{-~]", ""))
+    toks = tokens_col(F.lower(content))
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
+    n_lines = F.size(F.split(content, "\n"))
+    safe = lambda num, den: F.round(num / F.greatest(den, F.lit(1)), 6)  # noqa: E731
+    return [
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        safe(n_alnum, n_chars).alias("alnum_ratio"),
+        safe(n_punct, n_chars).alias("punct_ratio"),
+        safe(n_stop, n_tokens).alias("stopword_ratio"),
+        safe(n_chars, n_lines).alias("mean_line_len"),
+    ]
+
+
+def lang_id_col(content: Column) -> Column:
+    """Stopword-vote language ID: the language with the most marker-word hits
+    (ties -> lexicographically greatest, the struct-max ordering; no hits ->
+    'unknown'). A deterministic heuristic, not a model — and deliberately
+    SQL-expressible so the DuckDB oracle can replay it."""
+    toks = tokens_col(F.lower(content))
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda t: t.isin(*words))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+
+
+def doc_fingerprint_col(content: Column) -> Column:
+    """64-bit rolling document fingerprint: xxhash64 folded over token hashes
+    (order-sensitive). Cheap identity for shingle-free pipelines."""
+    token_hashes = F.transform(tokens_col(content), lambda t: F.xxhash64(t))
+    return F.aggregate(
+        token_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.xxhash64(acc, t),
+    )
+
+
+def text_profile(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """One-pass curation profile: id columns + token count + quality features
+    + language guess."""
+    c = F.col(content_col)
+    keep = [col for col in docs.columns if col != content_col]
+    return docs.select(
+        *keep,
+        token_count_col(c).alias("token_count"),
+        *quality_columns(c)[2:],  # ratios only; n_chars/n_tokens via their own ops
+        lang_id_col(c).alias("lang_guess"),
+    )

@@ -143,13 +143,20 @@ def fdupes_text(canonical: DataFrame, max_sets: int | None = None) -> str:
     return "\n\n".join(blocks) + ("\n" if blocks else "")
 
 
-def dedupe_members(sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
-    """Full grouping pipeline: signatures -> candidate edges -> components ->
-    expanded multi-member cluster membership."""
+def dedupe_members(
+    sig: DataFrame, cfg: DedupeConfig, corpus: DataFrame | None = None
+) -> DataFrame:
+    """Full grouping pipeline: signatures -> candidate edges (exact + LSH,
+    plus containment when the corpus is passed) -> components -> expanded
+    multi-member cluster membership.
+
+    Containment edges connect *docs*, not sha-representatives; they are
+    remapped to representatives before CC so the graph stays over the
+    collapsed node set."""
     from imgdupes_spark.operators.components import connected_components
-    from imgdupes_spark.operators.lsh import all_candidate_edges
+    from imgdupes_spark.operators.lsh import all_candidate_edges, rep_edges
 
     reps = sha_representatives(sig)
-    edges = all_candidate_edges(sig, cfg)
+    edges = rep_edges(sig, all_candidate_edges(sig, cfg, corpus=corpus))
     comps = connected_components(edges)
     return assign_clusters(sig, reps, comps)

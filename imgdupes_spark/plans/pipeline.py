@@ -1,0 +1,144 @@
+"""Checkpointed stage pipeline: resumable, incremental, instrumented (M5).
+
+The reference's resumability device is a joblib-pickled hash cache whose
+*filename* encodes the config (common/hashcache.py:144-165,
+common/imagededuper.py:66-75). Here each stage output is a parquet (or
+Iceberg — same writer API) checkpoint table whose *path* carries the config
+fingerprint, so a config change invalidates downstream checkpoints exactly the
+way the reference's cache filename does. Reading a fresh checkpoint prunes
+the whole upstream DAG (SURVEY.md §4 X1).
+
+Stages: signatures -> edges -> components -> members. The signatures stage
+resumes *incrementally*: rows already fingerprinted under the same config are
+anti-joined away and only new rows pay the UDF (the reference's
+update_hash_dict set-diff, common/hashcache.py:75-110, as joins).
+
+Every stage appends a row to <workdir>/metrics: rows, seconds, partitions —
+the per-partition lineage/metrics requirement of the north rule (the Spark
+analogue of the reference's tqdm/Spinner progress surface).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imgdupes_spark.config import DedupeConfig
+from imgdupes_spark.functions.fingerprints import signatures
+from imgdupes_spark.operators.clusters import assign_clusters
+from imgdupes_spark.operators.components import connected_components
+from imgdupes_spark.operators.lsh import (
+    all_candidate_edges,
+    rep_edges,
+    sha_representatives,
+)
+from imgdupes_spark.sources.loader import incremental_diff
+
+
+@dataclass
+class StageResult:
+    name: str
+    df: DataFrame
+    rows: int
+    seconds: float
+    resumed: bool
+
+
+class DedupePipeline:
+    def __init__(self, spark: SparkSession, cfg: DedupeConfig, workdir: str):
+        self.spark = spark
+        self.cfg = cfg
+        self.workdir = workdir
+        self.fp = cfg.fingerprint()
+        self.data_fp: str | None = None
+        self.results: dict[str, StageResult] = {}
+
+    def _path(self, stage: str) -> str:
+        # signatures is keyed by config alone (it resumes incrementally);
+        # downstream stages are additionally keyed by a fingerprint of the
+        # signatures *data*, so a changed corpus invalidates them the same
+        # way a changed config does.
+        if stage == "signatures" or self.data_fp is None:
+            return os.path.join(self.workdir, f"{stage}_{self.fp}")
+        return os.path.join(self.workdir, f"{stage}_{self.fp}_{self.data_fp}")
+
+    def _exists(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+
+    def _read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(stage))
+
+    def _write(self, stage: str, df: DataFrame) -> DataFrame:
+        df.write.mode("overwrite").parquet(self._path(stage))
+        return self._read(stage)
+
+    def _record(self, name: str, df: DataFrame, t0: float, resumed: bool) -> DataFrame:
+        rows = df.count()
+        res = StageResult(name, df, rows, time.time() - t0, resumed)
+        self.results[name] = res
+        metrics = self.spark.createDataFrame(
+            [
+                (
+                    name,
+                    self.fp,
+                    rows,
+                    float(res.seconds),
+                    df.rdd.getNumPartitions(),
+                    resumed,
+                    time.time(),
+                )
+            ],
+            "stage string, config_fp string, rows long, seconds double, "
+            "partitions int, resumed boolean, ts double",
+        )
+        metrics.write.mode("append").parquet(os.path.join(self.workdir, "metrics"))
+        return df
+
+    def _stage(self, name: str, compute, resume: bool) -> DataFrame:
+        t0 = time.time()
+        if resume and self._exists(name):
+            return self._record(name, self._read(name), t0, resumed=True)
+        df = self._write(name, compute())
+        return self._record(name, df, t0, resumed=False)
+
+    def run(self, corpus: DataFrame, resume: bool = True) -> DataFrame:
+        """Full pipeline; returns the members table (doc-level cluster
+        assignments). Each stage is read from its checkpoint when fresh."""
+        cfg = self.cfg
+
+        def compute_signatures() -> DataFrame:
+            if resume and self._exists("signatures"):
+                ckpt = self._read("signatures")
+                new, kept = incremental_diff(corpus, ckpt)
+                # materialize before the overwrite of the checkpoint we are
+                # reading from (production: Iceberg MERGE INTO instead)
+                return signatures(new, cfg).unionByName(kept).localCheckpoint(eager=True)
+            return signatures(corpus, cfg)
+
+        sig = self._stage("signatures", compute_signatures, resume=False)
+        row = sig.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("doc_id", "sha256")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        self.data_fp = f"{row.n}x{row.h & 0xFFFFFFFF:08x}"
+        edges = self._stage(
+            "edges", lambda: all_candidate_edges(sig, cfg, corpus=corpus), resume
+        )
+        comps = self._stage(
+            "components",
+            lambda: connected_components(rep_edges(sig, edges)),
+            resume,
+        )
+        members = self._stage(
+            "members",
+            lambda: assign_clusters(sig, sha_representatives(sig), comps),
+            resume,
+        )
+        return members
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.workdir, "metrics"))

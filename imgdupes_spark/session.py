@@ -36,6 +36,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Hash arithmetic (shingle polynomial fold, mix64 finalizer) is
+        # mod-2^64 by design; Spark 4's default ANSI mode would throw on the
+        # intended long wraparound, so it is disabled for this engine.
+        .config("spark.sql.ansi.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

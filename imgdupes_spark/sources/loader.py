@@ -1,0 +1,64 @@
+"""Corpus sources and scope restriction (SURVEY.md §2.1 S1-S4).
+
+The production input is an Iceberg table (BASELINE.json input_hint); the dev
+stand-in is parquet with the identical schema. The format is a config switch,
+not a code change — both return the same (repo, path, commit, lang, content)
+DataFrame and the rest of the engine is storage-agnostic. Predicate pushdown
+(lang/repo filters) and column pruning reach either scan via Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def load_corpus(
+    spark: SparkSession,
+    path: str | None = None,
+    table: str | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """S1: scan the corpus. ``table`` reads a catalog (Iceberg) table;
+    ``path`` reads files of ``fmt``. Empty-input guard mirrors the
+    reference's error-exit on no files (imgdupes:61-63)."""
+    if table is not None:
+        df = spark.read.table(table)
+    elif path is not None:
+        df = spark.read.format(fmt).load(path)
+    else:
+        raise ValueError("load_corpus: need path or table")
+    missing = set(CORPUS_COLUMNS) - set(df.columns)
+    if missing:
+        raise ValueError(f"corpus missing columns: {sorted(missing)}")
+    return df.select(*CORPUS_COLUMNS)
+
+
+def scope_to_list(corpus: DataFrame, scope: DataFrame) -> DataFrame:
+    """S2: restrict the corpus to an explicit file list — the reference's
+    --files-from (imgdupes:72-81) as a left-semi join. ``scope`` has columns
+    (repo, path) or just (path)."""
+    keys = [c for c in ("repo", "path") if c in scope.columns]
+    return corpus.join(scope.select(*keys).distinct(), keys, "left_semi")
+
+
+def lang_filter(corpus: DataFrame, langs: list[str]) -> DataFrame:
+    """S3: the extension predicate (imgdupes:20-28) as a pushed-down isin."""
+    return corpus.filter(F.col("lang").isin(langs))
+
+
+def incremental_diff(
+    corpus: DataFrame, checkpoint: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """P6: the reference's cache diff (common/hashcache.py:75-110) as a pair
+    of anti/semi joins on the identity key (repo, path, commit).
+
+    Returns (new, kept): ``new`` rows must be fingerprinted; ``kept``
+    checkpoint rows are still valid (lost rows simply don't appear).
+    """
+    keys = ["repo", "path", "commit"]
+    new = corpus.join(checkpoint.select(*keys), keys, "left_anti")
+    kept = checkpoint.join(corpus.select(*keys), keys, "left_semi")
+    return new, kept

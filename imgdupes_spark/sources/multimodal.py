@@ -1,0 +1,97 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+The decode kernels themselves are STUBBED (this container has no image/audio
+libraries): ``decode_image`` raises unless ``fake=True``, in which case a
+deterministic hash-derived pseudo-decode stands in so the Spark-side plumbing
+— schema, batching, partition behavior — is real and testable. Swapping in a
+real decoder (PIL / libvips / ffmpeg on the executors' Python env) changes
+only the marked inner function.
+
+Schema convention for a multimodal asset table:
+  (asset_id long, kind string in {image,audio,video}, media binary,
+   meta struct<mime string, n_bytes long>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "asset_id long, width int, height int, channels int, phash long"
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic pseudo-decode: dimensions and a 64-bit perceptual-hash
+    stand-in derived from the payload digest. REPLACE with a real decoder."""
+    d = hashlib.sha256(payload or b"").digest()
+    width = 64 + d[0] * 4
+    height = 64 + d[1] * 4
+    phash = int.from_bytes(d[8:16], "little", signed=True)
+    return width, height, 3, phash
+
+
+def extract_image_features(assets: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode + feature-extract images: one Arrow batch at a time through
+    mapInPandas, binary payloads never leave the executor as Python scalars
+    row-by-row on the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode requires an imaging library on executors"
+                )
+            feats = [_fake_decode(m) for m in pdf["media"]]
+            out = pd.DataFrame(feats, columns=["width", "height", "channels", "phash"])
+            out.insert(0, "asset_id", pdf["asset_id"].to_numpy())
+            yield out
+
+    images = assets.filter(F.col("kind") == "image").select("asset_id", "media")
+    return images.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def resize_plan(assets: DataFrame, max_px: int = 512) -> DataFrame:
+    """Plumbing for a resize stage: projects the work list (what would be
+    resized and to what) without decoding — the planning half is pure SQL and
+    runs at any scale; the execute half plugs into extract_image_features."""
+    return (
+        assets.filter(F.col("kind") == "image")
+        .select(
+            "asset_id",
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.lit(max_px).alias("target_px"),
+        )
+    )
+
+
+def frame_sample_plan(assets: DataFrame, every_s: float = 1.0) -> DataFrame:
+    """Video frame-sampling work list (decode stubbed the same way)."""
+    return (
+        assets.filter(F.col("kind") == "video")
+        .select("asset_id", F.lit(every_s).alias("sample_every_s"))
+    )

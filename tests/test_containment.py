@@ -1,0 +1,55 @@
+"""Containment pass: JVM shingle parity with the numpy kernel, planted
+containment pairs found, and pipeline integration."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from imgdupes_spark.functions import kernels
+from imgdupes_spark.functions.fingerprints import shingles_col, signatures, tokens_col
+from imgdupes_spark.operators.clusters import dedupe_members
+from imgdupes_spark.operators.containment import containment_edges
+from imgdupes_spark.xxh64 import xxh64_str
+
+
+def test_jvm_shingles_match_kernel(spark, cfg):
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",  # 8 tokens
+        "one two three",                                   # short doc (< k)
+        "a b c d e a b c d e a b c d e",                   # repeats
+        "x",                                               # single token
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["content"])
+    th = F.transform(tokens_col(F.col("content")), lambda t: F.xxhash64(t))
+    got = df.select(shingles_col(th, cfg.shingle_k).alias("sh")).collect()
+    for text, row in zip(texts, got):
+        toks = np.array([xxh64_str(t) for t in text.split()], dtype=np.int64)
+        exp, _ = kernels.shingle_hashes_batch(
+            toks.view(np.uint64), np.array([len(toks)]), cfg.shingle_k
+        )
+        assert [x if x < 2**63 else x - 2**64 for x in exp.tolist()] == row.sh, text
+
+
+def test_containment_edges_find_plants(spark, cfg, small_corpus, small_corpus_pd):
+    _, truth = small_corpus_pd
+    edges = containment_edges(small_corpus, cfg)
+    n_edges = edges.count()
+    n_contain_sets = truth[truth.plant_kind == "contain"].truth_group.nunique()
+    assert n_edges >= n_contain_sets, f"found {n_edges} containment edges"
+    assert edges.filter(F.col("src") >= F.col("dst")).isEmpty()
+
+
+def test_pipeline_with_containment_clusters_plants(spark, cfg, small_corpus, small_corpus_pd):
+    _, truth = small_corpus_pd
+    sig = signatures(small_corpus, cfg)
+    members = dedupe_members(sig, cfg, corpus=small_corpus)
+    got = {
+        f"{r.repo}/{r.path}": r.cluster_id
+        for r in members.select("repo", "path", "cluster_id").collect()
+    }
+    contain = truth[truth.plant_kind == "contain"]
+    for grp, ms in contain.groupby("truth_group"):
+        keys = [f"{r.repo}/{r.path}" for r in ms.itertuples()]
+        cids = {got.get(k) for k in keys}
+        assert len(cids) == 1 and None not in cids, (grp, keys, cids)

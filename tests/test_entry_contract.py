@@ -1,0 +1,78 @@
+"""Mimic the driver: run every queries() entry at sf0.01 side-by-side with
+its oracle_sql() DuckDB twin and compare row counts, schemas (column names),
+and order-insensitive values. Plus the entry() smoke."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, int):
+        return int(v)
+    return v
+
+
+def _rows(pairs):
+    return sorted(tuple(_norm(v) for v in row) for row in pairs)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    oracle = ddb.sql(entry_mod.oracle_sql()[name]).df()
+
+    spark_cols = sorted(sdf.columns)
+    duck_cols = sorted(oracle.columns)
+    assert spark_cols == duck_cols, f"{name}: schema {spark_cols} vs {duck_cols}"
+
+    spark_rows = _rows(
+        tuple(r[c] for c in spark_cols) for r in sdf.collect()
+    )
+    duck_rows = _rows(
+        tuple(row[c] for c in duck_cols) for _, row in oracle.iterrows()
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: rows {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    assert spark_rows == duck_rows, f"{name}: value mismatch"
+
+
+def test_rows_only_queries_run(spark):
+    qs = entry_mod.queries()
+    oracled = set(entry_mod.oracle_sql())
+    for name in set(qs) - oracled:
+        df = qs[name](spark, SF_DIR)
+        assert df.count() >= 0, name
+        assert len(df.columns) > 0, name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    n = df.count()
+    assert n > 0
+    assert {"doc_id", "cluster_id", "sha256"} <= set(df.columns)

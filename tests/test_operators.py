@@ -1,0 +1,88 @@
+"""Auxiliary operators: query probe, scope list, lang filter, incremental
+diff, set-rank/delete-plan/summarize semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from imgdupes_spark.config import DedupeConfig
+from imgdupes_spark.functions.fingerprints import signatures
+from imgdupes_spark.operators.clusters import (
+    cross_repo_flag,
+    dedupe_members,
+    delete_plan,
+    summarize,
+    with_set_rank,
+)
+from imgdupes_spark.operators.query import query_probe
+from imgdupes_spark.sources.loader import incremental_diff, lang_filter, scope_to_list
+
+
+def test_query_probe_finds_neighbors(spark, cfg, small_corpus, small_corpus_pd):
+    corpus_pd, truth = small_corpus_pd
+    sig = signatures(small_corpus, cfg).cache()
+    # probe = content of an exact-dup member under a new identity
+    exact = truth[truth.plant_kind == "exact"].iloc[0]
+    content = corpus_pd[
+        (corpus_pd.repo == exact.repo) & (corpus_pd.path == exact.path)
+    ].content.iloc[0]
+    probe = spark.createDataFrame(
+        [("probe/repo", "probe.py", "f" * 40, "py", content)],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    res = query_probe(sig, probe, cfg).collect()
+    found = {(r.repo, r.path) for r in res}
+    assert (exact.repo, exact.path) in found
+    assert all(r.hamming == 0 for r in res if (r.repo, r.path) == (exact.repo, exact.path))
+    # probe never returns itself
+    assert ("probe/repo", "probe.py") not in found
+
+
+def test_scope_and_lang_filters(spark, small_corpus):
+    scope = small_corpus.select("repo", "path").limit(10)
+    assert scope_to_list(small_corpus, scope).count() == 10
+    assert lang_filter(small_corpus, ["py"]).count() == small_corpus.count()
+    assert lang_filter(small_corpus, ["java"]).count() == 0
+
+
+def test_incremental_diff(spark, cfg, small_corpus):
+    sig = signatures(small_corpus, cfg)
+    half = small_corpus.limit(40)
+    ckpt = signatures(half, cfg)
+    new, kept = incremental_diff(small_corpus, ckpt)
+    assert new.count() == small_corpus.count() - 40
+    assert kept.count() == 40
+    # union covers everything exactly once
+    total = signatures(new, cfg).unionByName(kept)
+    assert total.count() == small_corpus.count()
+    assert total.select("doc_id").distinct().count() == small_corpus.count()
+
+
+def test_set_rank_and_delete_plan(spark, cfg, small_corpus):
+    sig = signatures(small_corpus, cfg)
+    members = dedupe_members(sig, cfg).cache()
+    plan = delete_plan(members, cfg)
+    # exactly one keep per cluster
+    keeps = plan.filter("action = 'keep'").groupBy("cluster_id").count()
+    assert keeps.filter("count != 1").isEmpty()
+    # rank-1 row has the max n_bytes in its cluster (default sort n_bytes desc)
+    mx = members.groupBy("cluster_id").agg(F.max("n_bytes").alias("mx"))
+    r1 = plan.filter("set_rank = 1").join(mx, "cluster_id")
+    assert r1.filter(F.col("n_bytes") != F.col("mx")).isEmpty()
+    # reverse flips: rank-1 is min n_bytes
+    rev = DedupeConfig(set_sort_reverse=True)
+    ranked = with_set_rank(members, rev)
+    mn = members.groupBy("cluster_id").agg(F.min("n_bytes").alias("mn"))
+    r1r = ranked.filter("set_rank = 1").join(mn, "cluster_id")
+    assert r1r.filter(F.col("n_bytes") != F.col("mn")).isEmpty()
+
+
+def test_summarize_and_cross_repo(spark, cfg, small_corpus):
+    sig = signatures(small_corpus, cfg)
+    members = dedupe_members(sig, cfg).cache()
+    s = summarize(members).collect()[0]
+    assert s.n_duplicate_files == members.count()
+    assert s.n_sets == members.select("cluster_id").distinct().count()
+    flagged = cross_repo_flag(members)
+    multi = flagged.filter("cross_repo").select("cluster_id").distinct().count()
+    assert 0 < multi <= s.n_sets

