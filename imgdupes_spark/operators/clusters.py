@@ -143,6 +143,66 @@ def fdupes_text(canonical: DataFrame, max_sets: int | None = None) -> str:
     return "\n\n".join(blocks) + ("\n" if blocks else "")
 
 
+def star_parity_members(sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """`--grouping star` parity mode (SURVEY.md §2.4 G1): reproduce the
+    reference's greedy one-hop star grouping EXACTLY — sorted-filename scan
+    order (imgdupes:67-68), inclusive threshold, drop-edges-to-grouped-nodes
+    (common/imagededuper.py:195-221).
+
+    The grouping itself is inherently sequential (group membership depends on
+    every earlier scan step), so the verified edge list — the distributed,
+    expensive part — is computed on the cluster and only the (src, dst) pairs
+    are collected for the driver-side greedy pass. Intended for golden tests
+    and small result sets, not the 10^12-row path (use grouping='cc').
+    """
+    from imgdupes_spark import oracle
+    from imgdupes_spark.operators.lsh import all_candidate_edges, rep_edges, sha_representatives
+
+    spark = sig.sparkSession
+    reps = sha_representatives(sig)
+    keyed = sig.select(
+        F.concat_ws("/", "repo", "path").alias("key"), "doc_id"
+    ).orderBy("key")
+    keys = [r.key for r in keyed.collect()]
+    ids = {r.key: r.doc_id for r in keyed.collect()}
+    idx = {ids[k]: i for i, k in enumerate(keys)}
+    # reference parity = Hamming-threshold edges only (the reference has no
+    # Jaccard or containment pass): keep exact + simhash origins
+    edges_df = rep_edges(
+        sig,
+        all_candidate_edges(sig, cfg, reps=reps).filter(
+            F.col("origin").isin("exact", "simhash")
+        ),
+        reps=reps,
+    )
+    # expand rep-level edges back to doc level via the sha map, then index
+    doc_rep = sig.join(reps, ["sha256"]).select("doc_id", "rep_id")
+    expanded = (
+        edges_df.join(doc_rep.withColumnRenamed("rep_id", "src"), ["src"])
+        .select(F.col("doc_id").alias("src"), "dst")
+        .join(doc_rep.withColumnRenamed("rep_id", "dst"), ["dst"])
+        .select("src", F.col("doc_id").alias("dst"))
+        .union(
+            # sha-twin edges (exact dups) at doc level
+            doc_rep.alias("a")
+            .join(doc_rep.alias("b"), F.col("a.rep_id") == F.col("b.rep_id"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        )
+        .distinct()
+    )
+    pairs = [
+        (idx[r.src], idx[r.dst]) for r in expanded.collect()
+        if r.src in idx and r.dst in idx
+    ]
+    groups = oracle.star_groups(keys, pairs)
+    if not groups:
+        return spark.createDataFrame([], "key string, star_group long")
+    return spark.createDataFrame(
+        [(k, g) for k, g in groups.items()], "key string, star_group long"
+    )
+
+
 def dedupe_members(
     sig: DataFrame, cfg: DedupeConfig, corpus: DataFrame | None = None
 ) -> DataFrame:
@@ -156,7 +216,9 @@ def dedupe_members(
     from imgdupes_spark.operators.components import connected_components
     from imgdupes_spark.operators.lsh import all_candidate_edges, rep_edges
 
-    reps = sha_representatives(sig)
-    edges = rep_edges(sig, all_candidate_edges(sig, cfg, corpus=corpus))
+    sig = sig.persist()  # scanned by reps, band passes, and final expansion
+    sig.count()  # eager (concurrent-stage cache-race guard, see lsh.py)
+    reps = sha_representatives(sig).persist()
+    edges = rep_edges(sig, all_candidate_edges(sig, cfg, corpus=corpus, reps=reps), reps=reps)
     comps = connected_components(edges)
     return assign_clusters(sig, reps, comps)

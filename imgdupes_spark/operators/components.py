@@ -32,11 +32,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     mins = bidir.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("m")
     )
+    # no distinct here: duplicate edges are harmless to the min-aggregations
+    # downstream and the final small_star output deduplicates — saves one
+    # full shuffle per round
     return (
         bidir.join(mins, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 
@@ -45,7 +47,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
     the minimum of that set."""
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-    ).distinct()
+    )
     mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
     joined = oriented.join(mins, "src")
     out = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst")).union(
@@ -65,19 +67,25 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50
+    edges: DataFrame, max_iter: int = 50, _stats: dict | None = None
 ) -> DataFrame:
     """Edges (src, dst) -> labels (doc_id, cluster_id) for every node that
     appears in an edge; cluster_id = min doc_id of the component
     (deterministic across runs and parallelism levels).
     """
     cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
-    cur = cur.localCheckpoint(eager=True)
+    # lazy localCheckpoint: the checksum action right after materializes it,
+    # so each round is ONE Spark job (eager=True would run two), while still
+    # truncating lineage between iterations
+    cur = cur.localCheckpoint(eager=False)
     prev_sum = _checksum(cur)
-    for _ in range(max_iter):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+    for it in range(max_iter):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         cur_sum = _checksum(cur)
         if cur_sum == prev_sum:
+            if _stats is not None:
+                _stats["iterations"] = it + 1
+                _stats["edges"] = cur_sum[0]
             break
         prev_sum = cur_sum
     else:

@@ -55,18 +55,43 @@ def rep_signatures(sig: DataFrame, reps: DataFrame) -> DataFrame:
 
 
 def simhash_bands(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
-    """Explode each doc into b (band_id, band_key) rows. band_key carries the
-    band bits; rows keep (doc_id, simhash) so verify needs no extra join."""
+    """Explode each doc into (band_id, band_key) LSH rows over its simhash.
+
+    NOT single-block keys: a naive b-band scheme (b*r = 64, key = one r-bit
+    block) has only 2^r distinct keys per band, so uniformly-random
+    fingerprints alone produce ~n^2/2^r candidate pairs — quadratic blowup
+    observed in practice at 10^5 docs and fatal at corpus scale.
+
+    Instead: multi-block combination keys (the block-permutation idea of
+    Manku, Jain & Sarma, "Detecting Near-Duplicates for Web Crawling",
+    WWW 2007, re-expressed as a key explode + equi-join). Split the 64-bit
+    simhash into b blocks of r bits; a pair within Hamming distance d has
+    differing bits in at most d blocks, leaving >= b-d blocks identical — so
+    keying every doc by ALL C(b, b-d) block-combinations (each key = combo id
+    + the b-d concatenated block values, >= 32 bits of entropy for the
+    default b=8, d=4) guarantees every in-threshold pair collides in at least
+    one combo, while random collisions drop from n^2/2^8 to n^2/2^32.
+
+    Rows keep (doc_id, simhash) so the verify filter needs no extra join.
+    """
+    from itertools import combinations
+
     r = cfg.simhash_band_bits
     mask = (1 << r) - 1
-    keys = F.array(
-        *[
-            (F.shiftrightunsigned(F.col("simhash"), r * i).bitwiseAND(F.lit(mask)))
-            for i in range(cfg.simhash_bands)
-        ]
-    )
+    m = cfg.simhash_bands - cfg.hamming_d  # blocks per combination key
+    assert m >= 1, "need hamming_d < simhash_bands"
+    blocks = [
+        (F.shiftrightunsigned(F.col("simhash"), r * i).bitwiseAND(F.lit(mask)))
+        for i in range(cfg.simhash_bands)
+    ]
+    keys = []
+    for combo in combinations(range(cfg.simhash_bands), m):
+        key = F.lit(0).cast("long")
+        for i in combo:
+            key = key * F.lit(mask + 1) + blocks[i]
+        keys.append(key)
     return rep_sig.select(
-        "doc_id", "simhash", F.posexplode(keys).alias("band_id", "band_key")
+        "doc_id", "simhash", F.posexplode(F.array(*keys)).alias("band_id", "band_key")
     )
 
 
@@ -93,6 +118,14 @@ def _pairs_from_bands(bands: DataFrame, payload: str, cfg: DedupeConfig) -> Data
     tasks so one boilerplate key cannot produce a straggler task.
     """
     s = cfg.salt_parts
+    # the band table feeds the size pass and both join sides; persist AND
+    # materialize eagerly — a lazy persist lets Spark's concurrently-scheduled
+    # downstream stages race on the unpopulated cache and recompute the whole
+    # upstream (incl. the fingerprint UDF) several times over (observed 2x+
+    # wall time at 100k docs). (SURVEY.md §7: "handled by persisting the band
+    # DataFrame" instead of a custom Catalyst rule.)
+    bands = bands.persist()
+    bands.count()
     sizes = bands.groupBy("band_id", "band_key").agg(F.count("*").alias("bucket_n"))
     b = bands.join(sizes, ["band_id", "band_key"]).filter(F.col("bucket_n") > 1)
 
@@ -202,11 +235,13 @@ def exact_edges(sig: DataFrame, reps: DataFrame) -> DataFrame:
     )
 
 
-def rep_edges(sig: DataFrame, edges: DataFrame) -> DataFrame:
+def rep_edges(sig: DataFrame, edges: DataFrame, reps: DataFrame | None = None) -> DataFrame:
     """Remap doc-level edge endpoints (exact / containment passes) to their
     sha256 representatives so the component graph stays over the collapsed
     node set; self-loops vanish."""
-    doc_rep = sig.join(sha_representatives(sig), ["sha256"]).select("doc_id", "rep_id")
+    if reps is None:
+        reps = sha_representatives(sig)
+    doc_rep = sig.join(reps, ["sha256"]).select("doc_id", "rep_id")
     return (
         edges.join(doc_rep.withColumnRenamed("doc_id", "src"), ["src"], "left")
         .withColumn("src", F.coalesce("rep_id", "src"))
@@ -219,14 +254,19 @@ def rep_edges(sig: DataFrame, edges: DataFrame) -> DataFrame:
 
 
 def all_candidate_edges(
-    sig: DataFrame, cfg: DedupeConfig, corpus: DataFrame | None = None
+    sig: DataFrame,
+    cfg: DedupeConfig,
+    corpus: DataFrame | None = None,
+    reps: DataFrame | None = None,
 ) -> DataFrame:
     """Union of exact + simhash + minhash (+ containment, when the corpus is
     supplied and enabled) edge passes over the collapsed representative set,
     deduplicated on (src, dst) keeping the strongest origin
     (exact > simhash > minhash > contain)."""
-    reps = sha_representatives(sig)
-    rep_sig = rep_signatures(sig, reps)
+    if reps is None:
+        reps = sha_representatives(sig)
+    rep_sig = rep_signatures(sig, reps).persist()
+    rep_sig.count()  # eager: see materialization note in _pairs_from_bands
     e_exact = exact_edges(sig, reps)
     e_sim = simhash_candidate_edges(rep_sig, cfg).select(
         "src", "dst", "hamming", "origin"

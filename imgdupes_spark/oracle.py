@@ -73,6 +73,12 @@ def star_groups(keys: list[str], edges: list[tuple[int, int]]) -> dict[str, int]
 
     keys must be pre-sorted (the reference's sorted-filename scan order);
     returns key -> group id (>=1) for grouped members only.
+
+    Spec choice: within a seed, neighbors are scanned in ascending element
+    index. (The reference iterates k-NN results distance-ascending,
+    common/imagededuper.py:203-207; both orders yield one-hop stars — the
+    index order is pinned here so the Spark star-parity mode and this oracle
+    are byte-comparable.)
     """
     n = len(keys)
     nbrs: list[list[int]] = [[] for _ in range(n)]

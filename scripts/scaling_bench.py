@@ -1,0 +1,62 @@
+"""Scaling-efficiency protocol (BASELINE.md): same job, same input, two
+parallelism levels — local[8] vs local[32] stands in for N vs 4N executors
+(driver instruction; no real cluster in the sandbox).
+
+Runs bench.py in fresh subprocesses (one JVM per master setting), computes
+efficiency = (T_8 / T_32) / 4, and prints a JSON summary + a markdown table
+row suitable for BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, check=True, cwd=REPO,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    lo, hi = 8, 32
+    r_lo = run_bench(lo, sf_dir)
+    r_hi = run_bench(hi, sf_dir)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    speedup = t_lo / t_hi
+    efficiency = speedup / (hi / lo)
+    summary = {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "sf": r_lo["sf"],
+        "n_files": r_lo["n_files"],
+        "t_local8_sec": t_lo,
+        "t_local32_sec": t_hi,
+        "files_per_sec_local8": r_lo["files_per_sec"],
+        "files_per_sec_local32": r_hi["files_per_sec"],
+        "speedup_8_to_32": round(speedup, 3),
+        "queries_local8": r_lo["queries"],
+        "queries_local32": r_hi["queries"],
+    }
+    print(json.dumps(summary))
+    print(
+        f"| e2e dedupe sf{r_lo['sf']} ({r_lo['n_files']} files) "
+        f"| local[8]: {t_lo}s ({r_lo['files_per_sec']}/s) "
+        f"| local[32]: {t_hi}s ({r_hi['files_per_sec']}/s) "
+        f"| speedup {speedup:.2f}x | efficiency {efficiency:.2f} |",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

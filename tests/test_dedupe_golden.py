@@ -129,3 +129,23 @@ def test_canonical_clusters_match_oracle_sets(oracle_state, spark_members):
     spark_as_sets = [set(s) for s in spark_sets]
     for s in cc_sets:
         assert any(set(s) <= g for g in spark_as_sets), f"missing oracle set {s}"
+
+
+def test_star_parity_mode_matches_oracle(spark, cfg, small_corpus, oracle_state):
+    """The driver-side star-parity mode must equal the oracle star grouping
+    as a partition of keys (group ids may differ by renumbering)."""
+    from imgdupes_spark.functions.fingerprints import signatures
+    from imgdupes_spark.operators.clusters import star_parity_members
+
+    keys, sims, edges = oracle_state
+    expected = oracle.star_groups(keys, edges)
+    sig = signatures(small_corpus, cfg)
+    got = {r.key: r.star_group for r in star_parity_members(sig, cfg).collect()}
+    assert set(got) == set(expected)
+    # same partition: equal groups up to renumbering
+    def canon(d):
+        groups = {}
+        for k, g in d.items():
+            groups.setdefault(g, []).append(k)
+        return sorted(sorted(ms) for ms in groups.values())
+    assert canon(got) == canon(expected)
