@@ -35,7 +35,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
-    n_synth = max(1000, int(1_000_000 * sf))
+    n_synth = int(os.environ.get("SPARK_GRAFT_BENCH_N", max(1000, int(1_000_000 * sf))))
 
     spark = get_spark(master=f"local[{cpus}]", app_name="imgdupes_spark_bench")
     cfg = DedupeConfig()

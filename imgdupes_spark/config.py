@@ -40,6 +40,11 @@ class DedupeConfig:
     max_bucket_size: int = 2000
     salt_parts: int = 16
 
+    # --- edge-pass dispatch (reference hash-method dispatch analogue,
+    #     common/hashcache.py:130-141: ahash/phash/dhash/whash -> one method;
+    #     here the passes compose instead of excluding each other) ---
+    passes: tuple = ("exact", "simhash", "minhash")
+
     # --- grouping semantics ---
     # "cc": distributed connected components (default; recall superset of the
     # reference's one-hop star groups, SURVEY.md §2.4 G1).

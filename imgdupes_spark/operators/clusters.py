@@ -32,12 +32,12 @@ _SORT_KEYS = {
 
 
 def assign_clusters(
-    sig: DataFrame, reps: DataFrame, components: DataFrame
+    sig: DataFrame, doc_rep: DataFrame, components: DataFrame
 ) -> DataFrame:
     """Expand representative-level component labels back to every doc.
 
     sig        full signatures table
-    reps       (sha256, rep_id) from sha_representatives
+    doc_rep    (doc_id, rep_id) from lsh.doc_rep_map
     components (doc_id, cluster_id) over representatives that had edges
 
     Every doc inherits its representative's component; representatives
@@ -50,7 +50,7 @@ def assign_clusters(
     """
     rep_label = components.withColumnRenamed("doc_id", "rep_id")
     labeled = (
-        sig.join(reps, ["sha256"])
+        sig.join(doc_rep, ["doc_id"])
         .join(rep_label, ["rep_id"], "left")
         .withColumn("component", F.coalesce(F.col("cluster_id"), F.col("rep_id")))
         .drop("cluster_id")
@@ -156,10 +156,16 @@ def star_parity_members(sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
     and small result sets, not the 10^12-row path (use grouping='cc').
     """
     from imgdupes_spark import oracle
-    from imgdupes_spark.operators.lsh import all_candidate_edges, rep_edges, sha_representatives
+    from imgdupes_spark.operators.lsh import (
+        all_candidate_edges,
+        doc_rep_map,
+        rep_edges,
+        sha_representatives,
+    )
 
     spark = sig.sparkSession
     reps = sha_representatives(sig)
+    doc_rep = doc_rep_map(sig, reps).persist()
     keyed = sig.select(
         F.concat_ws("/", "repo", "path").alias("key"), "doc_id"
     ).orderBy("key")
@@ -169,14 +175,12 @@ def star_parity_members(sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
     # reference parity = Hamming-threshold edges only (the reference has no
     # Jaccard or containment pass): keep exact + simhash origins
     edges_df = rep_edges(
-        sig,
-        all_candidate_edges(sig, cfg, reps=reps).filter(
+        all_candidate_edges(sig, cfg, reps=reps, doc_rep=doc_rep).filter(
             F.col("origin").isin("exact", "simhash")
         ),
-        reps=reps,
+        doc_rep,
     )
     # expand rep-level edges back to doc level via the sha map, then index
-    doc_rep = sig.join(reps, ["sha256"]).select("doc_id", "rep_id")
     expanded = (
         edges_df.join(doc_rep.withColumnRenamed("rep_id", "src"), ["src"])
         .select(F.col("doc_id").alias("src"), "dst")
@@ -214,11 +218,19 @@ def dedupe_members(
     remapped to representatives before CC so the graph stays over the
     collapsed node set."""
     from imgdupes_spark.operators.components import connected_components
-    from imgdupes_spark.operators.lsh import all_candidate_edges, rep_edges
+    from imgdupes_spark.operators.lsh import (
+        all_candidate_edges,
+        doc_rep_map,
+        rep_edges,
+    )
 
     sig = sig.persist()  # scanned by reps, band passes, and final expansion
     sig.count()  # eager (concurrent-stage cache-race guard, see lsh.py)
     reps = sha_representatives(sig).persist()
-    edges = rep_edges(sig, all_candidate_edges(sig, cfg, corpus=corpus, reps=reps), reps=reps)
+    doc_rep = doc_rep_map(sig, reps).persist()
+    edges = rep_edges(
+        all_candidate_edges(sig, cfg, corpus=corpus, reps=reps, doc_rep=doc_rep),
+        doc_rep,
+    )
     comps = connected_components(edges)
-    return assign_clusters(sig, reps, comps)
+    return assign_clusters(sig, doc_rep, comps)

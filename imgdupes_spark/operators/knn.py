@@ -49,20 +49,25 @@ def knn_bruteforce(
     )
 
 
-def make_rp_bucket_udf(dim: int, n_bits: int = 12, seed: int = 42):
-    """Random-hyperplane sign-bucket id (SimHash for real vectors,
-    Charikar 2002): one vectorized matrix multiply per Arrow batch."""
+def make_rp_buckets_udf(dim: int, n_bits: int = 6, n_tables: int = 8, seed: int = 42):
+    """Multi-table random-hyperplane buckets (SimHash for real vectors,
+    Charikar 2002; L independent tables in the classic LSH construction so
+    recall is 1-(1-p^bits)^L instead of p^bits). One vectorized matrix
+    multiply per Arrow batch; returns array<long> of one bucket id per table
+    (table index baked into the id so tables never collide)."""
     rng = np.random.Generator(np.random.PCG64(seed))
-    planes = rng.standard_normal((dim, n_bits))
+    planes = rng.standard_normal((dim, n_bits * n_tables))
 
-    @pandas_udf("long")
-    def rp_bucket(emb: pd.Series) -> pd.Series:
+    @pandas_udf("array<long>")
+    def rp_buckets(emb: pd.Series) -> pd.Series:
         m = np.vstack(emb.to_numpy())
-        bits = (m @ planes) > 0
-        weights = (1 << np.arange(n_bits, dtype=np.int64))
-        return pd.Series(bits @ weights)
+        bits = (m @ planes) > 0  # (n, n_bits * n_tables)
+        bits = bits.reshape(len(m), n_tables, n_bits)
+        weights = 1 << np.arange(n_bits, dtype=np.int64)
+        ids = bits @ weights + (np.arange(n_tables, dtype=np.int64) << n_bits)
+        return pd.Series(list(ids))
 
-    return rp_bucket
+    return rp_buckets
 
 
 def knn_lsh(
@@ -70,27 +75,33 @@ def knn_lsh(
     probes: DataFrame,
     dim: int,
     k: int = 5,
-    n_bits: int = 12,
+    n_bits: int = 6,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the probe's hyperplane
-    bucket. At cluster scale the bucket column is precomputed and the corpus
-    is bucketed/partitioned by it, making each probe a partition-pruned scan
-    instead of a full pass."""
-    bucket = make_rp_bucket_udf(dim, n_bits)
+    """Approximate top-k: candidates restricted to vectors sharing at least
+    one of the probe's L hyperplane buckets. At cluster scale the bucket
+    array is precomputed once and the corpus is bucketed/partitioned by the
+    exploded bucket id, so each probe is a partition-pruned scan instead of a
+    full pass; candidate volume is tuned by (n_bits up = fewer candidates,
+    n_tables up = higher recall)."""
+    buckets = make_rp_buckets_udf(dim, n_bits, n_tables)
     v_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     corpus = vectors.select(
-        F.col(id_col).alias("neighbor_id"), v_d.alias("v"), bucket(F.col(vec_col)).alias("b")
+        F.col(id_col).alias("neighbor_id"), v_d.alias("v"),
+        F.explode(buckets(F.col(vec_col))).alias("b"),
     )
     probe = probes.select(
-        F.col(id_col).alias("query_id"), v_d.alias("q"), bucket(F.col(vec_col)).alias("b")
+        F.col(id_col).alias("query_id"), v_d.alias("q"),
+        F.explode(buckets(F.col(vec_col))).alias("b"),
     )
-    scored = (
+    cand = (
         corpus.join(F.broadcast(probe), ["b"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(_cosine(F.col("q"), F.col("v")), 6))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    scored = cand.withColumn("cosine", F.round(_cosine(F.col("q"), F.col("v")), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -6,11 +6,12 @@ probe per element (reference: common/imagededuper.py:174-236, :239-266,
 — "for each element, all neighbors within threshold" — is an *exact*
 distributed plan:
 
-  simhash path : split the 64-bit simhash into b bands of r bits; any pair
-                 with Hamming distance < b collides in >= 1 band (pigeonhole),
-                 so a self-equi-join on (band_id, band_key) followed by the
-                 codegen'd verify filter ``bit_count(xor) <= d`` finds every
-                 in-threshold pair (d <= b-1).
+  simhash path : multi-block combination keys over the 64-bit simhash (see
+                 simhash_bands — Manku et al. 2007): every pair within
+                 Hamming d shares at least one C(b, b-d) block-combination
+                 key, so a self-equi-join on (band_id, band_key) followed by
+                 the codegen'd verify filter ``bit_count(xor) <= d`` finds
+                 every in-threshold pair, exactly.
   minhash path : classic MinHash LSH — xxhash64 over each band of the
                  128-perm signature; verify by signature agreement >= tau.
 
@@ -220,12 +221,26 @@ def minhash_candidate_edges(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
     )
 
 
-def exact_edges(sig: DataFrame, reps: DataFrame) -> DataFrame:
+def doc_rep_map(sig: DataFrame, reps: DataFrame | None = None) -> DataFrame:
+    """(doc_id, rep_id) mapping — THE shared small projection of the corpus.
+
+    Computed once per run and reused by exact_edges / rep_edges /
+    assign_clusters: each of those used to re-join the full signatures table
+    with reps, i.e. several corpus-wide shuffles at 10^12 scale; this 16-byte
+    projection is shuffled once and cached.
+    """
+    if reps is None:
+        reps = sha_representatives(sig)
+    return sig.select("doc_id", "sha256").join(reps, ["sha256"]).select(
+        "doc_id", "rep_id"
+    )
+
+
+def exact_edges(doc_rep: DataFrame) -> DataFrame:
     """d=0 edges implied by the sha256 collapse: every non-representative doc
     connects to its representative (hamming 0, equal content)."""
     return (
-        sig.join(reps, ["sha256"])
-        .filter(F.col("doc_id") != F.col("rep_id"))
+        doc_rep.filter(F.col("doc_id") != F.col("rep_id"))
         .select(
             F.least("doc_id", "rep_id").alias("src"),
             F.greatest("doc_id", "rep_id").alias("dst"),
@@ -235,13 +250,10 @@ def exact_edges(sig: DataFrame, reps: DataFrame) -> DataFrame:
     )
 
 
-def rep_edges(sig: DataFrame, edges: DataFrame, reps: DataFrame | None = None) -> DataFrame:
+def rep_edges(edges: DataFrame, doc_rep: DataFrame) -> DataFrame:
     """Remap doc-level edge endpoints (exact / containment passes) to their
     sha256 representatives so the component graph stays over the collapsed
     node set; self-loops vanish."""
-    if reps is None:
-        reps = sha_representatives(sig)
-    doc_rep = sig.join(reps, ["sha256"]).select("doc_id", "rep_id")
     return (
         edges.join(doc_rep.withColumnRenamed("doc_id", "src"), ["src"], "left")
         .withColumn("src", F.coalesce("rep_id", "src"))
@@ -258,6 +270,7 @@ def all_candidate_edges(
     cfg: DedupeConfig,
     corpus: DataFrame | None = None,
     reps: DataFrame | None = None,
+    doc_rep: DataFrame | None = None,
 ) -> DataFrame:
     """Union of exact + simhash + minhash (+ containment, when the corpus is
     supplied and enabled) edge passes over the collapsed representative set,
@@ -265,16 +278,33 @@ def all_candidate_edges(
     (exact > simhash > minhash > contain)."""
     if reps is None:
         reps = sha_representatives(sig)
+    if doc_rep is None:
+        doc_rep = doc_rep_map(sig, reps)
     rep_sig = rep_signatures(sig, reps).persist()
     rep_sig.count()  # eager: see materialization note in _pairs_from_bands
-    e_exact = exact_edges(sig, reps)
-    e_sim = simhash_candidate_edges(rep_sig, cfg).select(
-        "src", "dst", "hamming", "origin"
-    )
-    e_min = minhash_candidate_edges(rep_sig, cfg).select(
-        "src", "dst", F.lit(None).cast("int").alias("hamming"), "origin"
-    )
-    unioned = e_exact.unionByName(e_sim).unionByName(e_min)
+    spark = sig.sparkSession
+    parts = [
+        spark.createDataFrame(
+            [], "src long, dst long, hamming int, origin string"
+        )
+    ]
+    if "exact" in cfg.passes:
+        parts.append(exact_edges(doc_rep))
+    if "simhash" in cfg.passes:
+        parts.append(
+            simhash_candidate_edges(rep_sig, cfg).select(
+                "src", "dst", "hamming", "origin"
+            )
+        )
+    if "minhash" in cfg.passes:
+        parts.append(
+            minhash_candidate_edges(rep_sig, cfg).select(
+                "src", "dst", F.lit(None).cast("int").alias("hamming"), "origin"
+            )
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
     if corpus is not None and cfg.containment_enabled:
         from imgdupes_spark.operators.containment import containment_edges
 

@@ -33,8 +33,8 @@ from imgdupes_spark.operators.clusters import assign_clusters
 from imgdupes_spark.operators.components import connected_components
 from imgdupes_spark.operators.lsh import (
     all_candidate_edges,
+    doc_rep_map,
     rep_edges,
-    sha_representatives,
 )
 from imgdupes_spark.sources.loader import incremental_diff
 
@@ -72,12 +72,22 @@ class DedupePipeline:
     def _read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self._path(stage))
 
-    def _write(self, stage: str, df: DataFrame) -> DataFrame:
-        df.write.mode("overwrite").parquet(self._path(stage))
-        return self._read(stage)
+    def _write(self, stage: str, df: DataFrame) -> tuple[DataFrame, int]:
+        """Write the checkpoint and return (reader, rows). The row count is
+        observed on the write action itself (df.observe) — no second pass."""
+        from pyspark.sql import Observation
 
-    def _record(self, name: str, df: DataFrame, t0: float, resumed: bool) -> DataFrame:
-        rows = df.count()
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(self._path(stage))
+        return self._read(stage), int(obs.get["rows"])
+
+    def _record(
+        self, name: str, df: DataFrame, t0: float, resumed: bool, rows: int | None = None
+    ) -> DataFrame:
+        if rows is None:
+            rows = df.count()
         res = StageResult(name, df, rows, time.time() - t0, resumed)
         self.results[name] = res
         metrics = self.spark.createDataFrame(
@@ -102,8 +112,8 @@ class DedupePipeline:
         t0 = time.time()
         if resume and self._exists(name):
             return self._record(name, self._read(name), t0, resumed=True)
-        df = self._write(name, compute())
-        return self._record(name, df, t0, resumed=False)
+        df, rows = self._write(name, compute())
+        return self._record(name, df, t0, resumed=False, rows=rows)
 
     def run(self, corpus: DataFrame, resume: bool = True) -> DataFrame:
         """Full pipeline; returns the members table (doc-level cluster
@@ -125,17 +135,20 @@ class DedupePipeline:
             F.coalesce(F.bit_xor(F.xxhash64("doc_id", "sha256")), F.lit(0)).alias("h"),
         ).collect()[0]
         self.data_fp = f"{row.n}x{row.h & 0xFFFFFFFF:08x}"
+        doc_rep = doc_rep_map(sig).persist()
         edges = self._stage(
-            "edges", lambda: all_candidate_edges(sig, cfg, corpus=corpus), resume
+            "edges",
+            lambda: all_candidate_edges(sig, cfg, corpus=corpus, doc_rep=doc_rep),
+            resume,
         )
         comps = self._stage(
             "components",
-            lambda: connected_components(rep_edges(sig, edges)),
+            lambda: connected_components(rep_edges(edges, doc_rep)),
             resume,
         )
         members = self._stage(
             "members",
-            lambda: assign_clusters(sig, sha_representatives(sig), comps),
+            lambda: assign_clusters(sig, doc_rep, comps),
             resume,
         )
         return members

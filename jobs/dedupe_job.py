@@ -1,0 +1,62 @@
+"""spark-submit entry point for the dedupe pipeline.
+
+Usage (cluster):
+    python scripts/package.py          # builds dist/imgdupes_spark.zip
+    spark-submit --py-files dist/imgdupes_spark.zip jobs/dedupe_job.py \
+        --input /data/corpus --workdir /data/dedupe_work \
+        [--table cat.db.corpus] [--hamming-d 4] [--no-containment] [--no-resume]
+
+The session is created by the cluster's spark-submit config (master, executor
+sizing); this script only sets SQL-level knobs. All heavy lifting lives in
+the imgdupes_spark package; this file is argument plumbing.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+from imgdupes_spark.config import DedupeConfig
+from imgdupes_spark.plans.pipeline import DedupePipeline
+from imgdupes_spark.sources.loader import load_corpus
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="corpus path (parquet/iceberg files)")
+    ap.add_argument("--table", help="catalog table instead of --input")
+    ap.add_argument("--format", default="parquet")
+    ap.add_argument("--workdir", required=True, help="checkpoint/metrics dir")
+    ap.add_argument("--hamming-d", type=int, default=4)
+    ap.add_argument("--jaccard-tau", type=float, default=0.70)
+    ap.add_argument("--no-containment", action="store_true")
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("imgdupes_spark_dedupe").getOrCreate()
+    for k, v in {
+        "spark.sql.ansi.enabled": "false",  # mod-2^64 hash arithmetic
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }.items():
+        spark.conf.set(k, v)
+
+    cfg = DedupeConfig(
+        hamming_d=args.hamming_d,
+        jaccard_tau=args.jaccard_tau,
+        containment_enabled=not args.no_containment,
+    )
+    corpus = load_corpus(spark, path=args.input, table=args.table, fmt=args.format)
+    pipe = DedupePipeline(spark, cfg, args.workdir)
+    members = pipe.run(corpus, resume=not args.no_resume)
+    n = members.count()
+    print(f"clustered members: {n}; stages: "
+          + ", ".join(f"{r.name}={r.rows} rows/{r.seconds:.1f}s"
+                      + ("(resumed)" if r.resumed else "")
+                      for r in pipe.results.values()))
+
+
+if __name__ == "__main__":
+    main()

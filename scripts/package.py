@@ -1,0 +1,27 @@
+"""Build dist/imgdupes_spark.zip for spark-submit --py-files."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    os.makedirs(os.path.join(REPO, "dist"), exist_ok=True)
+    out = os.path.join(REPO, "dist", "imgdupes_spark.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "imgdupes_spark")
+        for root, _, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Training-data-pipeline extras: knn (brute + LSH), text profile,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from imgdupes_spark.functions.text import text_profile
+from imgdupes_spark.operators.knn import knn_bruteforce, knn_lsh
+from imgdupes_spark.sources.multimodal import (
+    ASSET_SCHEMA,
+    extract_image_features,
+    frame_sample_plan,
+    resize_plan,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(emb, probes, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_lsh(emb, probes, dim=64, k=3, n_bits=5, n_tables=8).collect()
+    }
+    # LSH is approximate: require non-trivial recall at 6 bits / 64 buckets
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall
+    # and every approx result must be a genuine vector pair (sane join)
+    assert all(q != n for q, n in approx)
+
+
+def test_knn_bruteforce_self_excluded_and_ranked(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") == 0)
+    rows = knn_bruteforce(emb, probes, k=5).orderBy("rank").collect()
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    assert all(r.neighbor_id != 0 for r in rows)
+    assert all(rows[i].cosine >= rows[i + 1].cosine for i in range(4))
+
+
+def test_text_profile(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    prof = text_profile(docs, content_col="text")
+    row = prof.filter(F.col("doc_id") == 0).collect()[0]
+    assert row.token_count > 0
+    assert 0 <= row.stopword_ratio <= 1
+    assert row.lang_guess in {"en", "de", "fr", "es", "unknown"}
+    assert prof.count() == docs.count()
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (1, "image", b"fake-png-payload", ("image/png", 16)),
+        (2, "image", b"other-image-bytes", ("image/png", 17)),
+        (3, "video", b"fake-mp4", ("video/mp4", 8)),
+        (4, "image", None, ("image/png", 0)),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    feats = {r.asset_id: r for r in extract_image_features(assets, fake=True).collect()}
+    assert set(feats) == {1, 2, 4}  # images only, null payload included
+    assert feats[1].width >= 64 and feats[1].channels == 3
+    # deterministic: same payload -> same pseudo-decode
+    d = hashlib.sha256(b"fake-png-payload").digest()
+    assert feats[1].width == 64 + d[0] * 4
+    assert resize_plan(assets).count() == 3
+    assert frame_sample_plan(assets).count() == 1
