@@ -61,19 +61,21 @@ def main() -> None:
     timings["dedupe_lsh_cc"] = round(e2e, 3)
     e2e_total = timings["signatures"] + timings["dedupe_lsh_cc"]
 
-    # --- shared-fixture queries (same code paths the driver cross-checks) ---
-    qs = entry_mod.queries()
-    for name in (
-        "exact_dup_clusters",
-        "near_dup_members",
-        "knn_bruteforce",
-        "token_counts",
-        "quality_profile",
-    ):
-        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+    # --- shared-fixture queries (same code paths the driver cross-checks);
+    # skipped in scaling mode so legs measure only the headline e2e ---
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL", "1") != "0":
+        qs = entry_mod.queries()
+        for name in (
+            "exact_dup_clusters",
+            "near_dup_members",
+            "knn_bruteforce",
+            "token_counts",
+            "quality_profile",
+        ):
+            timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
-    timed("text_profile_docs", lambda: text_profile(
-        entry_mod._docs(spark, sf_dir), content_col="text").count())
+        timed("text_profile_docs", lambda: text_profile(
+            entry_mod._docs(spark, sf_dir), content_col="text").count())
 
     result = {
         "metric": "e2e_dedupe_sec",

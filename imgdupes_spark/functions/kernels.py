@@ -158,13 +158,18 @@ def simhash_fold(shingles: np.ndarray, counts: np.ndarray) -> np.ndarray:
     offsets_all = np.concatenate(([0], np.cumsum(counts)))[:-1]
     off_nz = offsets_all[nz]
     bit_ids = np.arange(64, dtype=np.uint64)
-    # process 16 bits at a time to bound the (n_shingles, bits) intermediate
-    acc = np.zeros((int(nz.sum()), 64), dtype=np.int64)
-    for lo in range(0, 64, 16):
-        chunk = bit_ids[lo : lo + 16]
-        bits = ((shingles[:, None] >> chunk) & np.uint64(1)).astype(np.int32)
-        votes = bits * 2 - 1
-        acc[:, lo : lo + 16] = np.add.reduceat(votes, off_nz, axis=0)
+    # bit matrix via unpackbits: one SIMD pass, (n_shingles, 64) uint8 —
+    # ~6x less memory traffic than 64 shift-and-mask passes over uint64
+    # (the UDF is bandwidth-bound; this is the hot loop of the engine).
+    # little-endian uint64 view + bitorder='little' => column k == bit k.
+    bits = np.unpackbits(
+        shingles.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    # vote sum = 2*sum(bits) - count (no votes matrix); int32 accumulator —
+    # the uint8->int32 reduceat takes numpy's SIMD path, ~10x over int64
+    ones = np.add.reduceat(bits, off_nz, axis=0, dtype=np.int32)
+    totals = counts[nz][:, None].astype(np.int32)
+    acc = 2 * ones - totals
     packed = ((acc > 0).astype(np.uint64) << bit_ids).sum(axis=1, dtype=np.uint64)
     sim[nz] = packed
     return sim.view(np.int64)
@@ -184,10 +189,18 @@ def minhash_fold(
     offsets_all = np.concatenate(([0], np.cumsum(counts)))[:-1]
     off_nz = offsets_all[nz]
     out_nz = np.empty((int(nz.sum()), n_perms), dtype=np.uint64)
-    for lo in range(0, n_perms, 16):
-        hi = min(lo + 16, n_perms)
-        v = (shingles[:, None] * a[lo:hi] + b[lo:hi]) >> np.uint64(32)
-        out_nz[:, lo:hi] = np.minimum.reduceat(v, off_nz, axis=0)
+    # one preallocated chunk buffer reused across iterations: repeated fresh
+    # allocations of ~100MB temporaries serialize on kernel page zeroing when
+    # many UDF workers run concurrently
+    chunk = 16
+    buf = np.empty((len(shingles), chunk), dtype=np.uint64)
+    for lo in range(0, n_perms, chunk):
+        hi = min(lo + chunk, n_perms)
+        w = buf[:, : hi - lo]
+        np.multiply(shingles[:, None], a[lo:hi], out=w)
+        w += b[lo:hi]
+        w >>= np.uint64(32)
+        out_nz[:, lo:hi] = np.minimum.reduceat(w, off_nz, axis=0)
     sig[nz] = out_nz.astype(np.uint32).astype(np.int64).astype(np.int32)
     return sig
 

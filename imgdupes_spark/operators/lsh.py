@@ -97,7 +97,14 @@ def simhash_bands(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
 
 
 def minhash_bands(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
-    """MinHash LSH rows: band_key = xxhash64 of each signature band slice."""
+    """MinHash LSH rows: band_key = xxhash64 of each signature band slice.
+
+    Deliberately does NOT carry the 128-int signature through the explode:
+    a band table of n_docs x n_bands rows each lugging a ~550-byte array
+    turns the self-join into a multi-GB shuffle (measured 3x the cost of the
+    whole simhash pass at 400k docs). Pairs are generated on 24-byte key rows
+    and the signatures are re-joined only for the surviving candidate pairs.
+    """
     rpb = cfg.minhash_rows_per_band
     keys = F.array(
         *[
@@ -106,42 +113,71 @@ def minhash_bands(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
         ]
     )
     return rep_sig.select(
-        "doc_id", "minhash", F.posexplode(keys).alias("band_id", "band_key")
+        "doc_id", F.posexplode(keys).alias("band_id", "band_key")
     )
 
 
-def _pairs_from_bands(bands: DataFrame, payload: str, cfg: DedupeConfig) -> DataFrame:
+def _pairs_from_bands(
+    bands: DataFrame, payload: str | None, cfg: DedupeConfig
+) -> DataFrame:
     """Self-join band rows into candidate pairs (src < dst), salting hot
-    buckets. ``payload`` is the fingerprint column carried for verification.
+    buckets. ``payload`` is an optional fingerprint column carried inline for
+    verification — only worth it for small fixed-width payloads (the 8-byte
+    simhash); wide payloads (minhash arrays) are re-joined after pair dedup.
 
     Cold buckets (the overwhelming majority) take a plain equi-join; buckets
     above cfg.max_bucket_size are pair-generated via (g1 <= g2) salt-pair
     tasks so one boilerplate key cannot produce a straggler task.
     """
     s = cfg.salt_parts
-    # the band table feeds the size pass and both join sides; persist AND
-    # materialize eagerly — a lazy persist lets Spark's concurrently-scheduled
-    # downstream stages race on the unpopulated cache and recompute the whole
-    # upstream (incl. the fingerprint UDF) several times over (observed 2x+
-    # wall time at 100k docs). (SURVEY.md §7: "handled by persisting the band
-    # DataFrame" instead of a custom Catalyst rule.)
-    bands = bands.persist()
-    bands.count()
-    sizes = bands.groupBy("band_id", "band_key").agg(F.count("*").alias("bucket_n"))
-    b = bands.join(sizes, ["band_id", "band_key"]).filter(F.col("bucket_n") > 1)
+    # The band table feeds the size pass and both join sides but is NOT
+    # persisted: it is a pure codegen projection (explode) of the already
+    # cached-and-materialized rep_sig, and re-running that projection per
+    # scan measured 2x faster than caching + eagerly counting 44M band rows.
+    # (rep_sig MUST be eagerly cached by the caller — a lazy cache lets
+    # concurrently-scheduled stages recompute the fingerprint UDF itself.)
+    #
+    # (band_id, band_key) is collapsed to ONE hashed 8-byte join key: a hash
+    # collision can only merge two buckets (extra candidates, filtered at
+    # verify) — it can never lose a pair — and the narrower rows/single join
+    # column cut the dominant shuffle's width.
+    bands = bands.select(
+        "doc_id",
+        F.xxhash64("band_id", "band_key").alias("bkey"),
+        *([payload] if payload else []),
+    )
+    # bucket size via a window count: ONE shuffle of the band table (the
+    # groupBy-sizes + join-back formulation shuffles it three times), and the
+    # self-join below reuses the window's hash(bkey) partitioning — Catalyst
+    # inserts no further exchange for the equi-join.
+    from pyspark.sql import Window
+
+    b = bands.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("bkey"))
+    ).filter(F.col("bucket_n") > 1)
+    # post-filter survivors (multi-member buckets) are a small fraction of the
+    # band table: cache them eagerly so the l/r self-join sides don't run the
+    # window shuffle twice
+    b = b.persist()
+    b.count()
 
     cold = b.filter(F.col("bucket_n") <= cfg.max_bucket_size)
     l, r = cold.alias("l"), cold.alias("r")
     cold_pairs = l.join(
         r,
-        (F.col("l.band_id") == F.col("r.band_id"))
-        & (F.col("l.band_key") == F.col("r.band_key"))
+        (F.col("l.bkey") == F.col("r.bkey"))
         & (F.col("l.doc_id") < F.col("r.doc_id")),
     ).select(
         F.col("l.doc_id").alias("src"),
         F.col("r.doc_id").alias("dst"),
-        F.col(f"l.{payload}").alias(f"src_{payload}"),
-        F.col(f"r.{payload}").alias(f"dst_{payload}"),
+        *(
+            [
+                F.col(f"l.{payload}").alias(f"src_{payload}"),
+                F.col(f"r.{payload}").alias(f"dst_{payload}"),
+            ]
+            if payload
+            else []
+        ),
     )
 
     hot = b.filter(F.col("bucket_n") > cfg.max_bucket_size)
@@ -156,8 +192,7 @@ def _pairs_from_bands(bands: DataFrame, payload: str, cfg: DedupeConfig) -> Data
         hl.alias("l")
         .join(
             hr.alias("r"),
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
+            (F.col("l.bkey") == F.col("r.bkey"))
             & (F.col("l.g1") == F.col("r.g1"))
             & (F.col("l.g2") == F.col("r.g2"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
@@ -165,8 +200,14 @@ def _pairs_from_bands(bands: DataFrame, payload: str, cfg: DedupeConfig) -> Data
         .select(
             F.col("l.doc_id").alias("src"),
             F.col("r.doc_id").alias("dst"),
-            F.col(f"l.{payload}").alias(f"src_{payload}"),
-            F.col(f"r.{payload}").alias(f"dst_{payload}"),
+            *(
+                [
+                    F.col(f"l.{payload}").alias(f"src_{payload}"),
+                    F.col(f"r.{payload}").alias(f"dst_{payload}"),
+                ]
+                if payload
+                else []
+            ),
         )
         .dropDuplicates(["src", "dst"])
     )
@@ -203,7 +244,16 @@ def minhash_candidate_edges(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
     MinHash estimator); threshold tau is inclusive, mirroring the reference's
     inclusive Hamming threshold.
     """
-    pairs = _pairs_from_bands(minhash_bands(rep_sig, cfg), "minhash", cfg)
+    pairs = _pairs_from_bands(minhash_bands(rep_sig, cfg), None, cfg).dropDuplicates(
+        ["src", "dst"]
+    )
+    sigs = rep_sig.select("doc_id", "minhash")
+    pairs = (
+        pairs.join(sigs.withColumnRenamed("doc_id", "src"), ["src"])
+        .withColumnRenamed("minhash", "src_minhash")
+        .join(sigs.withColumnRenamed("doc_id", "dst"), ["dst"])
+        .withColumnRenamed("minhash", "dst_minhash")
+    )
     agree = F.aggregate(
         F.zip_with(
             F.col("src_minhash"),
@@ -214,8 +264,7 @@ def minhash_candidate_edges(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return (
-        pairs.dropDuplicates(["src", "dst"])
-        .withColumn("jaccard_est", agree / F.lit(cfg.minhash_perms))
+        pairs.withColumn("jaccard_est", agree / F.lit(cfg.minhash_perms))
         .filter(F.col("jaccard_est") >= cfg.jaccard_tau)
         .select("src", "dst", "jaccard_est", F.lit("minhash").alias("origin"))
     )
@@ -233,6 +282,89 @@ def doc_rep_map(sig: DataFrame, reps: DataFrame | None = None) -> DataFrame:
         reps = sha_representatives(sig)
     return sig.select("doc_id", "sha256").join(reps, ["sha256"]).select(
         "doc_id", "rep_id"
+    )
+
+
+def lsh_candidate_edges(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """Combined simhash + minhash LSH pass: ONE self-join over the union of
+    both key tables (band_id offset keeps keyspaces disjoint), one pair
+    dedup, one verify join — instead of two full pipelines over the band
+    tables. A pair surfaced by either family is verified against BOTH
+    thresholds; ``origin`` records the strongest evidence (simhash if within
+    Hamming d — this also upgrades minhash-found pairs that happen to be
+    Hamming-close, making the Hamming semantics *more* complete than running
+    the passes separately).
+
+    Returns (src, dst, hamming, jaccard_est, origin in {simhash, minhash}).
+    """
+    assert cfg.hamming_d < cfg.simhash_bands, (
+        "pigeonhole guarantee requires d < number of bands"
+    )
+    from math import comb
+
+    n_sim_combos = comb(cfg.simhash_bands, cfg.simhash_bands - cfg.hamming_d)
+    keys = []
+    if "simhash" in cfg.passes:
+        keys.append(
+            simhash_bands(rep_sig, cfg).select("doc_id", "band_id", "band_key")
+        )
+    if "minhash" in cfg.passes:
+        keys.append(
+            minhash_bands(rep_sig, cfg).select(
+                "doc_id",
+                (F.col("band_id") + F.lit(n_sim_combos)).alias("band_id"),
+                "band_key",
+            )
+        )
+    bands = keys[0]
+    for k in keys[1:]:
+        bands = bands.unionByName(k)
+
+    pairs = _pairs_from_bands(bands, None, cfg).dropDuplicates(["src", "dst"])
+    sigs = rep_sig.select("doc_id", "simhash", "minhash")
+    joined = (
+        pairs.join(
+            sigs.select(
+                F.col("doc_id").alias("src"),
+                F.col("simhash").alias("src_simhash"),
+                F.col("minhash").alias("src_minhash"),
+            ),
+            ["src"],
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("dst"),
+                F.col("simhash").alias("dst_simhash"),
+                F.col("minhash").alias("dst_minhash"),
+            ),
+            ["dst"],
+        )
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("src_minhash"),
+            F.col("dst_minhash"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.withColumn(
+        "hamming",
+        F.bit_count(F.col("src_simhash").bitwiseXOR(F.col("dst_simhash"))),
+    ).withColumn("jaccard_est", agree / F.lit(cfg.minhash_perms))
+    keep = F.lit(False)
+    if "simhash" in cfg.passes:
+        keep = keep | (F.col("hamming") <= cfg.hamming_d)
+    if "minhash" in cfg.passes:
+        keep = keep | (F.col("jaccard_est") >= cfg.jaccard_tau)
+    origin = (
+        F.when(F.col("hamming") <= cfg.hamming_d, F.lit("simhash"))
+        if "simhash" in cfg.passes
+        else F.when(F.lit(False), F.lit("simhash"))
+    ).otherwise(F.lit("minhash"))
+    return scored.filter(keep).select(
+        "src", "dst", "hamming", "jaccard_est", origin.alias("origin")
     )
 
 
@@ -290,16 +422,10 @@ def all_candidate_edges(
     ]
     if "exact" in cfg.passes:
         parts.append(exact_edges(doc_rep))
-    if "simhash" in cfg.passes:
+    if "simhash" in cfg.passes or "minhash" in cfg.passes:
         parts.append(
-            simhash_candidate_edges(rep_sig, cfg).select(
+            lsh_candidate_edges(rep_sig, cfg).select(
                 "src", "dst", "hamming", "origin"
-            )
-        )
-    if "minhash" in cfg.passes:
-        parts.append(
-            minhash_candidate_edges(rep_sig, cfg).select(
-                "src", "dst", F.lit(None).cast("int").alias("hamming"), "origin"
             )
         )
     unioned = parts[0]

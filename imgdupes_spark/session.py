@@ -18,7 +18,21 @@ def get_spark(
     app_name: str = "imgdupes_spark",
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    # glibc mmap()s every allocation >128KB and munmap()s it on free; at N
+    # concurrent pandas-UDF workers the constant map/unmap of multi-MB numpy
+    # temporaries turns into TLB-shootdown IPI storms (observed: 85% kernel
+    # time, negative scaling 8->32 cores). Keep large blocks on the heap and
+    # never trim — python workers inherit the JVM's env, so set it before the
+    # session starts. On a real cluster, set these via spark.executorEnv.*.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # shuffle to tmpfs when available: a single spinning /tmp serializes N
+    # concurrent shuffle writers on one box (a real cluster has per-node
+    # disks); harmless if /dev/shm is small — Spark spills across dirs.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
@@ -31,9 +45,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # small Arrow batches: 10k-row batches give each UDF worker ~100MB+
+        # of numpy temporaries, serializing workers on kernel page management;
+        # 2048 measured 4x faster at 32 workers with no per-batch overhead hit
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = one JVM: driver heap holds every cached table and all
+        # executor-thread shuffle buffers. Not too small (8g + 32 task
+        # threads = GC thrash) and not huge either (fresh-page faults on a
+        # 48g+ young gen measurably hurt); 16g measured best at bench scale.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # Hash arithmetic (shingle polynomial fold, mix64 finalizer) is
@@ -41,6 +62,8 @@ def get_spark(
         # intended long wraparound, so it is disabled for this engine.
         .config("spark.sql.ansi.enabled", "false")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark

@@ -1,0 +1,56 @@
+"""Structured Streaming ingest: continuous corpus arrival -> signatures.
+
+The reference is a batch CLI with a joblib cache (SURVEY.md §2.7: no
+streaming); the engine's resumability story is checkpoint tables
+(plans/pipeline.py). This module adds the complementary *arrival* path for a
+training-data pipeline: new corpus files land in a directory (or an Iceberg
+table via its streaming source — same writeStream API), and the signatures
+stage runs on each micro-batch. The fingerprint pandas UDF is stateless, so
+it streams as-is; clustering stays batch (CC is iterative — rerun the
+pipeline stages downstream of the continuously-growing signatures table,
+which the anti-join resume makes incremental).
+
+``trigger=availableNow`` drains everything currently present and stops —
+the streaming analogue of an incremental batch run, used by the tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from imgdupes_spark.config import DedupeConfig
+from imgdupes_spark.functions.fingerprints import signatures
+from imgdupes_spark.sources.loader import CORPUS_COLUMNS
+
+
+def stream_signatures(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    cfg: DedupeConfig,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """readStream(parquet corpus dir) -> signatures -> append parquet sink.
+
+    Exactly-once per input file via the streaming checkpoint; the sink is the
+    same signatures schema the batch pipeline reads, so downstream stages
+    (edges/components/members) pick up streamed rows on their next run.
+    """
+    corpus_schema = ", ".join(f"{c} string" for c in CORPUS_COLUMNS)
+    stream = (
+        spark.readStream.schema(corpus_schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(source_dir)
+    )
+    sig = signatures(stream, cfg)
+    writer = (
+        sig.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,34 @@
+"""Streaming ingest: micro-batched signatures with exactly-once file intake."""
+
+from __future__ import annotations
+
+import os
+
+from imgdupes_spark.corpus import CorpusSpec, generate_corpus
+from imgdupes_spark.streaming.ingest import stream_signatures
+
+
+def test_stream_signatures_drains_and_is_exactly_once(spark, cfg, tmp_path):
+    src = str(tmp_path / "incoming")
+    dst = str(tmp_path / "signatures")
+    ckpt = str(tmp_path / "ckpt")
+
+    corpus_pd, _ = generate_corpus(CorpusSpec(n_singletons=30, n_exact_sets=2,
+                                              n_near_sets=0, n_chains=0, n_boiler=0,
+                                              n_contain=0, n_sentinels=1, seed=5))
+    half1, half2 = corpus_pd.iloc[:20], corpus_pd.iloc[20:]
+    spark.createDataFrame(half1).write.mode("append").parquet(src)
+
+    q = stream_signatures(spark, src, dst, ckpt, cfg)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(dst)
+    assert got1.count() == 20
+    assert {"doc_id", "sha256", "simhash", "minhash"} <= set(got1.columns)
+
+    # second batch arrives; restart drains ONLY the new files (exactly-once)
+    spark.createDataFrame(half2).write.mode("append").parquet(src)
+    q2 = stream_signatures(spark, src, dst, ckpt, cfg)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(dst)
+    assert got2.count() == len(corpus_pd)
+    assert got2.select("doc_id").distinct().count() == len(corpus_pd)
