@@ -1,0 +1,40 @@
+"""Physical-plan assertions: the optimizations we claim must be visible in
+the executed plan, not just intended (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from imgdupes_spark.functions.fingerprints import signatures
+from imgdupes_spark.operators.query import query_probe
+from imgdupes_spark.sources.loader import lang_filter  # noqa: F401
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    # column pruning: text (the wide column) must not be read
+    assert "text" not in plan.split("ReadSchema")[1]
+
+
+def test_query_probe_is_broadcast_join(spark, cfg, small_corpus):
+    sig = signatures(small_corpus, cfg)
+    probe = small_corpus.limit(1)
+    plan = _plan(query_probe(sig, probe, cfg))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scan_is_columnar_and_codegen(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    q = docs.groupBy("lang").count()
+    plan = _plan(q)
+    # vectorized parquet reader + map-side partial aggregation before the
+    # exchange (Catalyst's partial+final split — SURVEY.md §4)
+    assert "Batched: true" in plan
+    assert "partial_count" in plan
