@@ -54,7 +54,12 @@ class DedupeConfig:
 
     # --- containment pass (north_star suffix/substring stage) ---
     containment_enabled: bool = True
-    containment_anchors: int = 2  # smallest-k shingle hashes used as probe keys
+    # smallest-k shingle hashes used as AND-combined probe keys: more anchors
+    # = fewer candidates AND resilience to one anchor being boilerplate-dropped
+    containment_anchors: int = 2
+    # short docs (n_tokens < shingle_k) anchor on token hashes against a
+    # token-level container index (~doubles the container explode)
+    containment_short_docs: bool = True
 
     # --- per-set ordering (reference sort_image_list, imagededuper.py:418-460) ---
     set_sort: str = "n_bytes"     # n_bytes | path | n_chars | n_lines | n_tokens

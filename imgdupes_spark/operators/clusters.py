@@ -55,13 +55,19 @@ def assign_clusters(
         .withColumn("component", F.coalesce(F.col("cluster_id"), F.col("rep_id")))
         .drop("cluster_id")
     )
-    w = Window.partitionBy("component")
-    return (
-        labeled.withColumn("cluster_id", F.min("doc_id").over(w))
-        .withColumn("cluster_size", F.count("*").over(w))
+    # groupBy + join back, NOT a window over component: a window puts an
+    # entire mega-component (boilerplate super-cluster) into ONE task with no
+    # partial aggregation; the groupBy gets map-side partial agg and the
+    # inner join prunes singleton components before they widen the output.
+    comp_stats = (
+        labeled.groupBy("component")
+        .agg(
+            F.min("doc_id").alias("cluster_id"),
+            F.count("*").alias("cluster_size"),
+        )
         .filter(F.col("cluster_size") > 1)
-        .drop("component", "rep_id")
     )
+    return labeled.join(comp_stats, ["component"]).drop("component", "rep_id")
 
 
 def canonical_clusters(members: DataFrame) -> DataFrame:
@@ -164,8 +170,10 @@ def star_parity_members(sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
     )
 
     spark = sig.sparkSession
+    caches: list[DataFrame] = []
     reps = sha_representatives(sig)
     doc_rep = doc_rep_map(sig, reps).persist()
+    caches.append(doc_rep)
     keyed = sig.select(
         F.concat_ws("/", "repo", "path").alias("key"), "doc_id"
     ).orderBy("key")
@@ -175,9 +183,9 @@ def star_parity_members(sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
     # reference parity = Hamming-threshold edges only (the reference has no
     # Jaccard or containment pass): keep exact + simhash origins
     edges_df = rep_edges(
-        all_candidate_edges(sig, cfg, reps=reps, doc_rep=doc_rep).filter(
-            F.col("origin").isin("exact", "simhash")
-        ),
+        all_candidate_edges(
+            sig, cfg, reps=reps, doc_rep=doc_rep, caches=caches
+        ).filter(F.col("origin").isin("exact", "simhash")),
         doc_rep,
     )
     # expand rep-level edges back to doc level via the sha map, then index
@@ -199,6 +207,8 @@ def star_parity_members(sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
         (idx[r.src], idx[r.dst]) for r in expanded.collect()
         if r.src in idx and r.dst in idx
     ]
+    for c in caches:
+        c.unpersist()
     groups = oracle.star_groups(keys, pairs)
     if not groups:
         return spark.createDataFrame([], "key string, star_group long")
@@ -211,12 +221,18 @@ def dedupe_members(
     sig: DataFrame, cfg: DedupeConfig, corpus: DataFrame | None = None
 ) -> DataFrame:
     """Full grouping pipeline: signatures -> candidate edges (exact + LSH,
-    plus containment when the corpus is passed) -> components -> expanded
+    plus containment when the corpus is passed) -> grouping -> expanded
     multi-member cluster membership.
+
+    ``cfg.grouping`` dispatches the grouping step: "cc" (default) runs
+    distributed connected components; "star" reproduces the reference's
+    greedy one-hop star grouping (common/imagededuper.py:195-221) via the
+    driver-side parity mode — same output schema, reference-exact partition.
 
     Containment edges connect *docs*, not sha-representatives; they are
     remapped to representatives before CC so the graph stays over the
-    collapsed node set."""
+    collapsed node set. The result is eagerly materialized (localCheckpoint)
+    so every intermediate cache can be released before returning."""
     from imgdupes_spark.operators.components import connected_components
     from imgdupes_spark.operators.lsh import (
         all_candidate_edges,
@@ -224,13 +240,46 @@ def dedupe_members(
         rep_edges,
     )
 
+    if cfg.grouping == "star":
+        return _star_members(sig, cfg)
+    assert cfg.grouping == "cc", f"unknown grouping {cfg.grouping!r}"
+
+    caches: list[DataFrame] = []
     sig = sig.persist()  # scanned by reps, band passes, and final expansion
     sig.count()  # eager (concurrent-stage cache-race guard, see lsh.py)
     reps = sha_representatives(sig).persist()
     doc_rep = doc_rep_map(sig, reps).persist()
+    caches += [sig, reps, doc_rep]
     edges = rep_edges(
-        all_candidate_edges(sig, cfg, corpus=corpus, reps=reps, doc_rep=doc_rep),
+        all_candidate_edges(
+            sig, cfg, corpus=corpus, reps=reps, doc_rep=doc_rep, caches=caches
+        ),
         doc_rep,
     )
     comps = connected_components(edges)
-    return assign_clusters(sig, doc_rep, comps)
+    members = assign_clusters(sig, doc_rep, comps).localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return members
+
+
+def _star_members(sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """grouping='star' branch of dedupe_members: expand the star-parity
+    grouping back to the members schema (sig columns + cluster_id/size)."""
+    sig = sig.persist()
+    sig.count()
+    stars = star_parity_members(sig, cfg)
+    keyed = sig.withColumn("key", F.concat_ws("/", "repo", "path"))
+    labeled = keyed.join(F.broadcast(stars), ["key"]).drop("key")
+    stats = (
+        labeled.groupBy("star_group")
+        .agg(F.min("doc_id").alias("cluster_id"), F.count("*").alias("cluster_size"))
+        .filter(F.col("cluster_size") > 1)
+    )
+    members = (
+        labeled.join(stats, ["star_group"])
+        .drop("star_group")
+        .localCheckpoint(eager=True)
+    )
+    sig.unpersist()
+    return members

@@ -8,25 +8,38 @@ finds verbatim containment with an inverted-index candidate step and a pure
 JVM verify:
 
   candidate  If A's tokens appear contiguously in B, every token-shingle of A
-             is a shingle of B — in particular A's minimum shingle hash. So:
-             contained side emits (min_shingle, doc); container side emits
-             (shingle, doc) for each distinct shingle; equi-join on the hash.
-             Cost is linear in total tokens (one shuffle of 16-byte rows) —
-             the scale path, vs. the O(n^2) all-pairs a suffix array over the
-             whole corpus would need.
+             is a shingle of B — in particular A's cfg.containment_anchors
+             smallest shingle hashes. Contained side emits those anchor keys;
+             container side emits (shingle, doc) for each distinct shingle;
+             equi-join on the hash and keep pairs where ALL of A's live
+             anchors matched (AND-combination). Cost is linear in total
+             tokens (one shuffle of ~20-byte rows) — the scale path, vs the
+             O(n^2) all-pairs a suffix array over the whole corpus would need.
+  short docs Docs with n_tokens < shingle_k fold to ONE whole-doc shingle
+             that can never equal a container's k-window (round-1 recall
+             hole): they instead anchor on ALL their distinct token hashes,
+             matched against a token-level container index (kind-tagged keys
+             keep the two keyspaces disjoint). The token index roughly
+             doubles the container explode; disable with
+             cfg.containment_short_docs=False when tiny docs don't matter.
   verify     contains(container.content, contained.content) — exact verbatim
              substring, whole-stage codegen, no Python.
 
-Skew guard: an anchor shingle that matches more than cfg.max_bucket_size
+Skew guard: an anchor key that matches more than cfg.max_bucket_size
 containers (ubiquitous boilerplate) is dropped from the candidate join and
-counted — a documented recall bound, not a silent cap (the affected contained
-docs are exactly those whose *entire* min shingle is boilerplate).
+the AND runs over the SURVIVING anchors — so a doc whose min shingle is
+boilerplate is still found through its other anchors (the round-1
+single-anchor design lost it). A doc is unfindable only when ALL its anchors
+are boilerplate-dropped — a documented recall bound, not a silent cap.
 
-Edge cases, by construction: boundary tokens of A may merge with B's
+Recall bounds, by construction: boundary tokens of A may merge with B's
 surrounding text under tokenization; shingles strictly interior to A are
-unaffected, and the min over >= (n-k+1) interior shingles hits a boundary
-shingle with probability ~ (k-1)/n. Equal-content pairs are the exact-dup
-path's job and are excluded here (n_shingles strictly smaller).
+unaffected, and an anchor hits a boundary shingle with probability
+~ a*(k-1)/n for doc length n. Short docs are found for token-aligned
+containments (every token of A appears verbatim in B's token stream);
+mid-token embeddings of a short doc are out of scope (tests pin this).
+Equal-content pairs are the exact-dup path's job and are excluded here
+(strictly smaller content length).
 """
 
 from __future__ import annotations
@@ -48,48 +61,93 @@ def _with_shingles(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
         corpus.select(
             doc_id_col().alias("doc_id"),
             F.col("content"),
-            shingles_col(token_hashes, cfg.shingle_k).alias("shingles"),
+            F.length("content").alias("ln"),
+            F.size(token_hashes).alias("n_tok"),
+            F.array_distinct(shingles_col(token_hashes, cfg.shingle_k)).alias(
+                "shingles"
+            ),
+            F.array_distinct(token_hashes).alias("toks"),
         )
-        .withColumn("shingles", F.array_distinct("shingles"))
         .withColumn("n_sh", F.size("shingles"))
-        .filter(F.col("n_sh") > 0)
+        .filter(F.col("n_tok") > 0)
     )
 
 
 def containment_edges(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
     """Edges (src, dst, origin='contain') where one doc's content is a
-    verbatim substring of the other's. src < dst (canonical)."""
+    verbatim proper substring of the other's. src < dst (canonical)."""
+    n_anchor = max(1, cfg.containment_anchors)
     docs = _with_shingles(corpus, cfg)
+    long_d = F.col("n_tok") >= cfg.shingle_k
 
-    contained = docs.select(
+    # contained-side anchors: the n_anchor smallest distinct shingles (long
+    # docs, kind 0) or every distinct token hash (short docs, kind 1)
+    anchors = docs.select(
         F.col("doc_id").alias("small_id"),
-        F.array_min("shingles").alias("key"),
-        F.col("n_sh").alias("small_n"),
+        F.col("ln").alias("small_ln"),
+        F.when(long_d, F.lit(0)).otherwise(F.lit(1)).alias("kind"),
+        F.explode(
+            F.when(long_d, F.slice(F.array_sort("shingles"), 1, n_anchor)).otherwise(
+                F.col("toks")
+            )
+        ).alias("key"),
     )
-    container = docs.select(
-        F.col("doc_id").alias("big_id"),
-        F.explode("shingles").alias("key"),
-        F.col("n_sh").alias("big_n"),
+    if not cfg.containment_short_docs:
+        anchors = anchors.filter(F.col("kind") == 0)
+
+    cont_parts = [
+        docs.filter(long_d).select(
+            F.col("doc_id").alias("big_id"),
+            F.col("ln").alias("big_ln"),
+            F.lit(0).alias("kind"),
+            F.explode("shingles").alias("key"),
+        )
+    ]
+    if cfg.containment_short_docs:
+        cont_parts.append(
+            docs.select(
+                F.col("doc_id").alias("big_id"),
+                F.col("ln").alias("big_ln"),
+                F.lit(1).alias("kind"),
+                F.explode("toks").alias("key"),
+            )
+        )
+    container = cont_parts[0]
+    for p in cont_parts[1:]:
+        container = container.unionByName(p)
+
+    # skew guard: drop anchor keys with pathologically many container matches
+    # from BOTH sides — the AND below then runs over the surviving anchors
+    hot_keys = (
+        container.groupBy("kind", "key")
+        .agg(F.count("*").alias("key_n"))
+        .filter(F.col("key_n") > cfg.max_bucket_size)
+        .select("kind", "key")
     )
-    # skew guard: drop anchors with pathologically many container matches
-    key_counts = container.groupBy("key").agg(F.count("*").alias("key_n"))
-    container = container.join(
-        key_counts.filter(F.col("key_n") <= cfg.max_bucket_size), ["key"]
-    ).drop("key_n")
+    live = anchors.join(hot_keys, ["kind", "key"], "left_anti")
+    container = container.join(hot_keys, ["kind", "key"], "left_anti")
+    n_live = live.groupBy("small_id").agg(F.count("*").alias("n_live"))
 
     cand = (
-        contained.join(container, ["key"])
+        live.join(container, ["kind", "key"])
         .filter(
             (F.col("small_id") != F.col("big_id"))
-            & (F.col("small_n") < F.col("big_n"))
+            & (F.col("small_ln") < F.col("big_ln"))
         )
+        .groupBy("small_id", "big_id")
+        .agg(F.count("*").alias("matched"))
+        .join(n_live, ["small_id"])
+        .filter(F.col("matched") == F.col("n_live"))
         .select("small_id", "big_id")
-        .dropDuplicates(["small_id", "big_id"])
     )
 
     # verify: ship content only for candidate docs (semi-joined), JVM contains()
-    small_c = docs.select(F.col("doc_id").alias("small_id"), F.col("content").alias("small_content"))
-    big_c = docs.select(F.col("doc_id").alias("big_id"), F.col("content").alias("big_content"))
+    small_c = docs.select(
+        F.col("doc_id").alias("small_id"), F.col("content").alias("small_content")
+    )
+    big_c = docs.select(
+        F.col("doc_id").alias("big_id"), F.col("content").alias("big_content")
+    )
     verified = (
         cand.join(small_c, ["small_id"])
         .join(big_c, ["big_id"])

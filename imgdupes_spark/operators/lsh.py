@@ -118,7 +118,10 @@ def minhash_bands(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
 
 
 def _pairs_from_bands(
-    bands: DataFrame, payload: str | None, cfg: DedupeConfig
+    bands: DataFrame,
+    payload: str | None,
+    cfg: DedupeConfig,
+    caches: list | None = None,
 ) -> DataFrame:
     """Self-join band rows into candidate pairs (src < dst), salting hot
     buckets. ``payload`` is an optional fingerprint column carried inline for
@@ -160,6 +163,9 @@ def _pairs_from_bands(
     # window shuffle twice
     b = b.persist()
     b.count()
+    if caches is not None:
+        # caller unpersists after the pair join has been materialized
+        caches.append(b)
 
     cold = b.filter(F.col("bucket_n") <= cfg.max_bucket_size)
     l, r = cold.alias("l"), cold.alias("r")
@@ -180,6 +186,15 @@ def _pairs_from_bands(
         ),
     )
 
+    # Hot buckets: docs hash to one of s salt groups; the pair (x, y) with
+    # salts (gx, gy) is generated by exactly the (min(gx,gy), max(gx,gy))
+    # salt-pair task. The join therefore MUST NOT also demand a doc_id
+    # ordering: salt is a pure function of doc_id, so requiring the
+    # smaller-doc_id doc on the left would drop every pair whose doc_id
+    # order opposes its salt order (~half of all cross-salt pairs — the
+    # round-1 correctness bug). Join on `!=` and canonicalize with
+    # least/greatest; the g1==g2 task emits each pair twice (both
+    # orientations) and the dropDuplicates collapses it.
     hot = b.filter(F.col("bucket_n") > cfg.max_bucket_size)
     salted = hot.withColumn("g", F.pmod(F.xxhash64("doc_id"), F.lit(s)))
     hl = salted.withColumn(
@@ -188,6 +203,7 @@ def _pairs_from_bands(
     hr = salted.withColumn(
         "g1", F.explode(F.sequence(F.lit(0), F.col("g")))
     ).withColumnRenamed("g", "g2")
+    l_first = F.col("l.doc_id") < F.col("r.doc_id")
     hot_pairs = (
         hl.alias("l")
         .join(
@@ -195,15 +211,19 @@ def _pairs_from_bands(
             (F.col("l.bkey") == F.col("r.bkey"))
             & (F.col("l.g1") == F.col("r.g1"))
             & (F.col("l.g2") == F.col("r.g2"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+            & (F.col("l.doc_id") != F.col("r.doc_id")),
         )
         .select(
-            F.col("l.doc_id").alias("src"),
-            F.col("r.doc_id").alias("dst"),
+            F.least("l.doc_id", "r.doc_id").alias("src"),
+            F.greatest("l.doc_id", "r.doc_id").alias("dst"),
             *(
                 [
-                    F.col(f"l.{payload}").alias(f"src_{payload}"),
-                    F.col(f"r.{payload}").alias(f"dst_{payload}"),
+                    F.when(l_first, F.col(f"l.{payload}"))
+                    .otherwise(F.col(f"r.{payload}"))
+                    .alias(f"src_{payload}"),
+                    F.when(l_first, F.col(f"r.{payload}"))
+                    .otherwise(F.col(f"l.{payload}"))
+                    .alias(f"dst_{payload}"),
                 ]
                 if payload
                 else []
@@ -214,7 +234,9 @@ def _pairs_from_bands(
     return cold_pairs.unionByName(hot_pairs)
 
 
-def simhash_candidate_edges(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
+def simhash_candidate_edges(
+    rep_sig: DataFrame, cfg: DedupeConfig, caches: list | None = None
+) -> DataFrame:
     """Verified simhash edges: (src, dst, hamming, origin='simhash').
 
     The verify filter is pure JVM whole-stage codegen — 64-bit XOR +
@@ -225,7 +247,7 @@ def simhash_candidate_edges(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
     assert cfg.hamming_d < cfg.simhash_bands, (
         "pigeonhole guarantee requires d < number of bands"
     )
-    pairs = _pairs_from_bands(simhash_bands(rep_sig, cfg), "simhash", cfg)
+    pairs = _pairs_from_bands(simhash_bands(rep_sig, cfg), "simhash", cfg, caches)
     return (
         pairs.dropDuplicates(["src", "dst"])
         .withColumn(
@@ -237,16 +259,18 @@ def simhash_candidate_edges(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
     )
 
 
-def minhash_candidate_edges(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
+def minhash_candidate_edges(
+    rep_sig: DataFrame, cfg: DedupeConfig, caches: list | None = None
+) -> DataFrame:
     """Verified minhash edges: (src, dst, jaccard_est, origin='minhash').
 
     jaccard_est = fraction of agreeing signature positions (the standard
     MinHash estimator); threshold tau is inclusive, mirroring the reference's
     inclusive Hamming threshold.
     """
-    pairs = _pairs_from_bands(minhash_bands(rep_sig, cfg), None, cfg).dropDuplicates(
-        ["src", "dst"]
-    )
+    pairs = _pairs_from_bands(
+        minhash_bands(rep_sig, cfg), None, cfg, caches
+    ).dropDuplicates(["src", "dst"])
     sigs = rep_sig.select("doc_id", "minhash")
     pairs = (
         pairs.join(sigs.withColumnRenamed("doc_id", "src"), ["src"])
@@ -285,7 +309,9 @@ def doc_rep_map(sig: DataFrame, reps: DataFrame | None = None) -> DataFrame:
     )
 
 
-def lsh_candidate_edges(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
+def lsh_candidate_edges(
+    rep_sig: DataFrame, cfg: DedupeConfig, caches: list | None = None
+) -> DataFrame:
     """Combined simhash + minhash LSH pass: ONE self-join over the union of
     both key tables (band_id offset keeps keyspaces disjoint), one pair
     dedup, one verify join — instead of two full pipelines over the band
@@ -320,7 +346,7 @@ def lsh_candidate_edges(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
     for k in keys[1:]:
         bands = bands.unionByName(k)
 
-    pairs = _pairs_from_bands(bands, None, cfg).dropDuplicates(["src", "dst"])
+    pairs = _pairs_from_bands(bands, None, cfg, caches).dropDuplicates(["src", "dst"])
     sigs = rep_sig.select("doc_id", "simhash", "minhash")
     joined = (
         pairs.join(
@@ -403,6 +429,7 @@ def all_candidate_edges(
     corpus: DataFrame | None = None,
     reps: DataFrame | None = None,
     doc_rep: DataFrame | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """Union of exact + simhash + minhash (+ containment, when the corpus is
     supplied and enabled) edge passes over the collapsed representative set,
@@ -414,6 +441,8 @@ def all_candidate_edges(
         doc_rep = doc_rep_map(sig, reps)
     rep_sig = rep_signatures(sig, reps).persist()
     rep_sig.count()  # eager: see materialization note in _pairs_from_bands
+    if caches is not None:
+        caches.append(rep_sig)
     spark = sig.sparkSession
     parts = [
         spark.createDataFrame(
@@ -424,7 +453,7 @@ def all_candidate_edges(
         parts.append(exact_edges(doc_rep))
     if "simhash" in cfg.passes or "minhash" in cfg.passes:
         parts.append(
-            lsh_candidate_edges(rep_sig, cfg).select(
+            lsh_candidate_edges(rep_sig, cfg, caches).select(
                 "src", "dst", "hamming", "origin"
             )
         )

@@ -53,18 +53,25 @@ def query_probe(
         "query_path",
     )
 
-    corpus_bands = simhash_bands(
-        corpus_sig.filter(F.col("simhash").isNotNull()), cfg
-    ).join(
-        corpus_sig.select("doc_id", "repo", "path"), ["doc_id"]
-    )
-
-    return (
+    # Probe FIRST, metadata LAST (round-1 verdict item 4): the broadcast
+    # band-key join + hamming verify prune the corpus band table down to the
+    # few survivors BEFORE any metadata is attached — the corpus is never
+    # shuffled (the old plan shuffle-joined all 70x|corpus| band rows with
+    # (doc_id, repo, path) first). The survivor set is then broadcast against
+    # the corpus scan, so the whole probe is two broadcast joins over one
+    # corpus pass.
+    corpus_bands = simhash_bands(corpus_sig.filter(F.col("simhash").isNotNull()), cfg)
+    hits = (
         corpus_bands.join(F.broadcast(probe_bands), ["band_id", "band_key"])
         .withColumn(
             "hamming", F.bit_count(F.col("simhash").bitwiseXOR(F.col("q_simhash")))
         )
         .filter(F.col("hamming") <= cfg.hamming_d)
+        .select("doc_id", "query_repo", "query_path", "hamming")
+        .dropDuplicates(["doc_id", "query_repo", "query_path"])
+    )
+    return (
+        corpus_sig.select("doc_id", "repo", "path")
+        .join(F.broadcast(hits), ["doc_id"])
         .select("query_repo", "query_path", "repo", "path", "hamming")
-        .dropDuplicates(["query_repo", "query_path", "repo", "path"])
     )

@@ -120,27 +120,46 @@ class DedupePipeline:
         assignments). Each stage is read from its checkpoint when fresh."""
         cfg = self.cfg
 
-        def compute_signatures() -> DataFrame:
-            if resume and self._exists("signatures"):
-                ckpt = self._read("signatures")
-                new, kept = incremental_diff(corpus, ckpt)
-                # materialize before the overwrite of the checkpoint we are
-                # reading from (production: Iceberg MERGE INTO instead)
-                return signatures(new, cfg).unionByName(kept).localCheckpoint(eager=True)
-            return signatures(corpus, cfg)
-
-        sig = self._stage("signatures", compute_signatures, resume=False)
+        t0 = time.time()
+        if resume and self._exists("signatures"):
+            # Append-only incremental resume: fingerprint ONLY the rows not in
+            # the checkpoint and APPEND them — the run writes O(new) bytes, not
+            # a full-table rewrite (round-1 verdict item 7; the reference's
+            # update_hash_dict set-diff, common/hashcache.py:75-110). Rows
+            # removed from the corpus are handled on the READ side by a
+            # semi-join against the live corpus keys — never rewritten.
+            # Under a real catalog this append + read-filter is an Iceberg
+            # MERGE INTO; the parquet stand-in keeps the identical contract.
+            ckpt = self._read("signatures")
+            new, _ = incremental_diff(corpus, ckpt)
+            signatures(new, cfg).write.mode("append").parquet(
+                self._path("signatures")
+            )
+            keys = ["repo", "path", "commit"]
+            sig = self._read("signatures").join(
+                corpus.select(*keys), keys, "left_semi"
+            )
+            sig = self._record("signatures", sig, t0, resumed=True)
+        else:
+            df, rows = self._write("signatures", signatures(corpus, cfg))
+            sig = self._record("signatures", df, t0, resumed=False, rows=rows)
         row = sig.agg(
             F.count("*").alias("n"),
             F.coalesce(F.bit_xor(F.xxhash64("doc_id", "sha256")), F.lit(0)).alias("h"),
         ).collect()[0]
         self.data_fp = f"{row.n}x{row.h & 0xFFFFFFFF:08x}"
         doc_rep = doc_rep_map(sig).persist()
+        edge_caches: list[DataFrame] = []
         edges = self._stage(
             "edges",
-            lambda: all_candidate_edges(sig, cfg, corpus=corpus, doc_rep=doc_rep),
+            lambda: all_candidate_edges(
+                sig, cfg, corpus=corpus, doc_rep=doc_rep, caches=edge_caches
+            ),
             resume,
         )
+        # the edges checkpoint is on disk — the LSH-internal caches are dead
+        for c in edge_caches:
+            c.unpersist()
         comps = self._stage(
             "components",
             lambda: connected_components(rep_edges(edges, doc_rep)),
@@ -151,6 +170,7 @@ class DedupePipeline:
             lambda: assign_clusters(sig, doc_rep, comps),
             resume,
         )
+        doc_rep.unpersist()
         return members
 
     def metrics(self) -> DataFrame:

@@ -49,9 +49,17 @@ def test_unique_per_doc():
 
 
 def test_simhash_known_vector():
-    """Snapshot of the spec — any kernel change that shifts bits fails here."""
-    sim, _ = fingerprint("the quick brown fox jumps over the lazy dog", CFG)
-    assert sim == fingerprint("the quick brown fox jumps over the lazy dog", CFG)[0]
+    """Snapshot of the spec — any kernel change that shifts bits fails here.
+    The LITERAL values below pin the round-1 fingerprint spec (xxhash64 seed
+    42 tokens, k=5 poly-fold shingles, splitmix64, PCG64(42) perms); changing
+    any of it invalidates golden tests AND checkpoint fingerprints, so the
+    failure must be loud."""
+    sim, mh = fingerprint("the quick brown fox jumps over the lazy dog", CFG)
+    assert sim == 4474169698616267642
+    assert list(mh[:8]) == [
+        1390938909, 853038247, 1819930942, 318678808,
+        1392006158, -2074480828, 85893937, 2076272910,
+    ]
     sim2, _ = fingerprint("The  Quick   BROWN fox; jumps over the lazy dog!", CFG)
     assert sim == sim2  # normalization invariance
 

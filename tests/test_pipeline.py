@@ -35,11 +35,23 @@ def test_resume_idempotence(spark, cfg, small_corpus, tmp_path):
     assert len(met) == 8
 
 
+def _sig_parts(wd: str, fp: str) -> dict[str, int]:
+    import os
+
+    d = os.path.join(wd, f"signatures_{fp}")
+    return {
+        f: os.path.getsize(os.path.join(d, f))
+        for f in os.listdir(d)
+        if f.startswith("part-")
+    }
+
+
 def test_incremental_signatures(spark, cfg, small_corpus, small_corpus_pd, tmp_path):
     corpus_pd, _ = small_corpus_pd
     wd = str(tmp_path / "wd2")
     first = spark.createDataFrame(corpus_pd.iloc[: len(corpus_pd) // 2])
     DedupePipeline(spark, cfg, wd).run(first)
+    parts_before = _sig_parts(wd, cfg.fingerprint())
 
     p = DedupePipeline(spark, cfg, wd)
     m = p.run(small_corpus)
@@ -52,6 +64,26 @@ def test_incremental_signatures(spark, cfg, small_corpus, small_corpus_pd, tmp_p
         p.results["signatures"].df.select("doc_id").distinct().count()
         == len(corpus_pd)
     )
+    # append-only resume: every first-run part file survives byte-identical
+    # (the run wrote O(new) bytes, not a full-table rewrite)
+    parts_after = _sig_parts(wd, cfg.fingerprint())
+    missing = set(parts_before) - set(parts_after)
+    assert not missing, f"resume rewrote checkpoint files: {missing}"
+    for f, size in parts_before.items():
+        assert parts_after[f] == size, f"resume modified {f}"
+    assert set(parts_after) > set(parts_before), "no appended part files"
+
+
+def test_shrunk_corpus_filters_read_side(spark, cfg, small_corpus, small_corpus_pd, tmp_path):
+    """Rows removed from the corpus disappear from the resumed signatures
+    view without any checkpoint rewrite (read-side semi-join)."""
+    corpus_pd, _ = small_corpus_pd
+    wd = str(tmp_path / "wd4")
+    DedupePipeline(spark, cfg, wd).run(small_corpus)
+    half = spark.createDataFrame(corpus_pd.iloc[: len(corpus_pd) // 2])
+    p = DedupePipeline(spark, cfg, wd)
+    p.run(half)
+    assert p.results["signatures"].rows == len(corpus_pd) // 2
 
 
 def test_config_change_invalidates(spark, cfg, small_corpus, tmp_path):

@@ -28,6 +28,15 @@ def test_query_probe_is_broadcast_join(spark, cfg, small_corpus):
     probe = small_corpus.limit(1)
     plan = _plan(query_probe(sig, probe, cfg))
     assert "BroadcastHashJoin" in plan
+    # round-1 verdict item 4: the corpus (band table or metadata) must never
+    # be shuffled for a probe — both joins are broadcast, and the only
+    # permissible exchange is the survivor dedup (partitioned on probe keys,
+    # never on band keys)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    for chunk in plan.split("Exchange hashpartitioning")[1:]:
+        keys = chunk.split(")")[0]
+        assert "band_key" not in keys and "band_id" not in keys, plan
 
 
 def test_scan_is_columnar_and_codegen(spark):
