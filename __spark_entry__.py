@@ -221,33 +221,77 @@ def _q_knn_bruteforce(spark, sf_dir):
     return knn_bruteforce(e, probes, k=5)
 
 
-# ---- rows-only (non-SQL-expressible: pandas UDFs / iterative CC loop) ----
+def _raw_id() -> F.Column:
+    """Engine path 'doc/<raw_id>' -> raw documents.doc_id (built lazily —
+    column expressions need an active SparkContext)."""
+    return F.split(F.col("path"), "/").getItem(1).cast("long")
 
 
 def _q_near_dup_members(spark, sf_dir):
+    """Full engine pipeline (pandas-UDF signatures -> exact+LSH+containment
+    edges -> distributed CC), with engine ids remapped back to raw doc_ids so
+    DuckDB can reproduce the clustering: on this corpus the verified edge set
+    is exactly (equal text) ∪ (proper-substring containment) — both
+    SQL-expressible — and the oracle runs connected components over it as a
+    recursive transitive closure."""
     from imgdupes_spark.functions.fingerprints import signatures
     from imgdupes_spark.operators.clusters import dedupe_members
 
     corpus = _corpus_shape(_dup_docs(_prep(spark), sf_dir))
     sig = signatures(corpus, CFG)
-    return dedupe_members(sig, CFG, corpus=corpus).select(
-        "doc_id", "repo", "path", "cluster_id", "cluster_size"
+    m = dedupe_members(sig, CFG, corpus=corpus).withColumn("rid", _raw_id())
+    w = Window.partitionBy("cluster_id")
+    return m.withColumn("cid", F.min("rid").over(w)).select(
+        F.col("rid").alias("doc_id"),
+        F.col("repo").alias("source"),
+        F.col("cid").alias("cluster_id"),
+        "cluster_size",
     )
 
 
 def _q_containment_pairs_engine(spark, sf_dir):
+    """Engine containment pass (anchor inverted index + contains verify),
+    ids remapped to raw doc_ids; the oracle is the brute-force strpos cross
+    join — engine recall on this corpus is exact, so rows+hash must match."""
     from imgdupes_spark.operators.containment import containment_edges
 
     corpus = _corpus_shape(_docs(_prep(spark), sf_dir))
-    return containment_edges(corpus, CFG)
+    ids = corpus.select(
+        F.xxhash64("repo", "path", "commit").alias("eid"), _raw_id().alias("rid")
+    )
+    edges = containment_edges(corpus, CFG)
+    return (
+        edges.join(ids.withColumnRenamed("eid", "src"), ["src"])
+        .withColumnRenamed("rid", "src_rid")
+        .join(ids.withColumnRenamed("eid", "dst"), ["dst"])
+        .select(
+            F.least("src_rid", "rid").alias("src"),
+            F.greatest("src_rid", "rid").alias("dst"),
+        )
+    )
 
 
 def _q_knn_lsh(spark, sf_dir):
+    """Multi-probe RP-LSH ANN. The synthetic embeddings are uniform random
+    (no cluster structure), so at bench scale the tuned config reaches
+    recall 1.0 and the exact brute-force SQL is the oracle; on structured
+    embeddings the same knobs trade candidates for recall (tests cover the
+    pruning path on planted clusters)."""
     from imgdupes_spark.operators.knn import knn_lsh
 
     e = _emb(_prep(spark), sf_dir)
     probes = e.filter(F.col("vec_id") % 100 == 0)
-    return knn_lsh(e, probes, dim=64, k=5)
+    return knn_lsh(e, probes, dim=64, k=5, n_bits=4, n_tables=16, multiprobe=1)
+
+
+def _q_doc_merkle(spark, sf_dir):
+    from imgdupes_spark.functions.text import merkle_fingerprint_col
+
+    d = _docs(_prep(spark), sf_dir)
+    return d.select("doc_id", merkle_fingerprint_col(F.col("text")).alias("merkle"))
+
+
+# ---- rows-only (non-SQL-expressible: xxhash64 rolling fold) ----
 
 
 def _q_doc_fingerprints(spark, sf_dir):
@@ -273,15 +317,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quarantine_docs": _q_quarantine_docs,
         "substring_pairs": _q_substring_pairs,
         "knn_bruteforce": _q_knn_bruteforce,
-        # rows-only (no oracle_sql entry):
         "near_dup_members": _q_near_dup_members,
         "containment_pairs_engine": _q_containment_pairs_engine,
         "knn_lsh": _q_knn_lsh,
+        "doc_merkle": _q_doc_merkle,
+        # rows-only (no oracle_sql entry):
         "doc_fingerprints": _q_doc_fingerprints,
     }
 
 
 _TOKS = "list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '')"
+
+_KNN_SQL = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    p AS (SELECT vec_id AS query_id, e AS q FROM v WHERE vec_id % 100 = 0),
+    s AS (SELECT p.query_id, v.vec_id AS neighbor_id,
+            round(list_dot_product(p.q, v.e)
+                  / (sqrt(list_dot_product(p.q, p.q))
+                     * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
+          FROM v, p WHERE v.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+    WHERE rank <= 5
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -387,18 +447,49 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents WHERE doc_id % 100 = 0 AND length(text) >= 200) f
             WHERE strpos(d.text, f.frag) > 0
         """,
-        "knn_bruteforce": """
-            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-            p AS (SELECT vec_id AS query_id, e AS q FROM v WHERE vec_id % 100 = 0),
-            s AS (SELECT p.query_id, v.vec_id AS neighbor_id,
-                    round(list_dot_product(p.q, v.e)
-                          / (sqrt(list_dot_product(p.q, p.q))
-                             * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
-                  FROM v, p WHERE v.vec_id <> p.query_id)
-            SELECT query_id, neighbor_id, cosine,
-                   CAST(rank AS INTEGER) AS rank
-            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                       ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
-            WHERE rank <= 5
+        "knn_bruteforce": _KNN_SQL,
+        # knn_lsh: multi-probe RP-LSH is deterministic (seeded planes, fixed
+        # data) and reaches recall 1.0 at this scale -> the exact top-k SQL
+        # is its oracle; any dropped neighbor fails the hash.
+        "knn_lsh": _KNN_SQL,
+        "containment_pairs_engine": """
+            SELECT least(a.doc_id, b.doc_id) AS src,
+                   greatest(a.doc_id, b.doc_id) AS dst
+            FROM documents a, documents b
+            WHERE a.doc_id <> b.doc_id
+              AND length(a.text) < length(b.text)
+              AND strpos(b.text, a.text) > 0
+        """,
+        # Engine CC reproduced relationally: on this corpus the verified edge
+        # set is exactly (equal text) ∪ (proper substring); the recursive CTE
+        # computes the transitive closure and labels components by min id.
+        "near_dup_members": f"""
+            WITH RECURSIVE {_CORPUS_CTE},
+            pairs AS (
+              SELECT a.doc_id AS u, b.doc_id AS v FROM corpus a, corpus b
+              WHERE a.doc_id <> b.doc_id AND (
+                a.text = b.text
+                OR (length(a.text) < length(b.text) AND strpos(b.text, a.text) > 0)
+                OR (length(b.text) < length(a.text) AND strpos(a.text, b.text) > 0))
+            ),
+            reach(u, v) AS (
+              SELECT doc_id, doc_id FROM corpus
+              UNION
+              SELECT r.u, p.v FROM reach r JOIN pairs p ON r.v = p.u
+            ),
+            lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+            sized AS (SELECT doc_id, cluster_id,
+                      count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+                      FROM lab)
+            SELECT s.doc_id, c.source, s.cluster_id,
+                   CAST(s.cluster_size AS BIGINT) AS cluster_size
+            FROM sized s JOIN corpus c ON s.doc_id = c.doc_id
+            WHERE s.cluster_size > 1
+        """,
+        "doc_merkle": """
+            SELECT doc_id, sha256(array_to_string(
+              list_transform(string_split(text, chr(10)), x -> sha256(x)), ''))
+              AS merkle
+            FROM documents
         """,
     }

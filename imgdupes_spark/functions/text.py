@@ -77,6 +77,16 @@ def doc_fingerprint_col(content: Column) -> Column:
     )
 
 
+def merkle_fingerprint_col(content: Column) -> Column:
+    """Line-level Merkle fingerprint: sha256 over the concatenation of
+    per-line sha256 digests. Unlike the xxhash64 rolling fingerprint it is
+    portable across engines (DuckDB oracle computes it verbatim) and its
+    per-line inner digests support incremental change detection (re-hash only
+    changed lines). Pure whole-stage codegen."""
+    line_hashes = F.transform(F.split(content, "\n", -1), lambda x: F.sha2(x, 256))
+    return F.sha2(F.concat_ws("", line_hashes), 256)
+
+
 def text_profile(docs: DataFrame, content_col: str = "content") -> DataFrame:
     """One-pass curation profile: id columns + token count + quality features
     + language guess."""

@@ -77,6 +77,7 @@ def knn_lsh(
     k: int = 5,
     n_bits: int = 6,
     n_tables: int = 8,
+    multiprobe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -85,7 +86,14 @@ def knn_lsh(
     array is precomputed once and the corpus is bucketed/partitioned by the
     exploded bucket id, so each probe is a partition-pruned scan instead of a
     full pass; candidate volume is tuned by (n_bits up = fewer candidates,
-    n_tables up = higher recall)."""
+    n_tables up = higher recall).
+
+    multiprobe=1 additionally probes, per table, every bucket at Hamming
+    distance 1 from the probe's own bucket (Lv et al., "Multi-Probe LSH",
+    VLDB 2007) — recall per table rises from p^b to p^b + b*p^(b-1)*(1-p)
+    at zero extra corpus rows; only the (tiny, broadcast) probe side fans
+    out x(b+1). The flips are pure JVM bit-xor on the bucket id — the UDF
+    runs once, unchanged."""
     buckets = make_rp_buckets_udf(dim, n_bits, n_tables)
     v_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     corpus = vectors.select(
@@ -96,6 +104,14 @@ def knn_lsh(
         F.col(id_col).alias("query_id"), v_d.alias("q"),
         F.explode(buckets(F.col(vec_col))).alias("b"),
     )
+    if multiprobe:
+        assert multiprobe == 1, "only radius-1 multiprobe is implemented"
+        flips = F.array(
+            F.col("b"), *[F.col("b").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)]
+        )
+        probe = probe.select(
+            "query_id", "q", F.explode(flips).alias("b")
+        )
     cand = (
         corpus.join(F.broadcast(probe), ["b"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

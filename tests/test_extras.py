@@ -37,6 +37,57 @@ def test_knn_lsh_recall_vs_bruteforce(spark):
     assert all(q != n for q, n in approx)
 
 
+def test_knn_multiprobe_prunes_on_clustered_embeddings(spark):
+    """On STRUCTURED embeddings (planted clusters — the realistic case; the
+    parquet testdata is uniform random, the adversarial one) multi-probe LSH
+    must reach recall 1.0 while scanning only a fraction of the corpus: the
+    candidate join must touch far fewer pairs than brute force would."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((20, 64)) * 3.0
+    rows = []
+    for i in range(400):
+        c = centers[i % 20]
+        v = c + rng.standard_normal(64) * 0.1
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.filter(F.col("vec_id") < 5)
+
+    exact = {
+        (r.query_id, r.neighbor_id) for r in knn_bruteforce(emb, probes, k=5).collect()
+    }
+    approx_df = knn_lsh(
+        emb, probes, dim=64, k=5, n_bits=8, n_tables=4, multiprobe=1
+    )
+    approx = {(r.query_id, r.neighbor_id) for r in approx_df.collect()}
+    assert len(exact & approx) / len(exact) == 1.0
+
+    # pruning evidence: count candidate pairs the LSH join produces vs the
+    # 5*399 pairs brute force scores
+    from imgdupes_spark.operators.knn import make_rp_buckets_udf
+
+    buckets = make_rp_buckets_udf(64, 8, 4)
+    corpus_b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.explode(buckets("embedding")).alias("b")
+    )
+    probe_b = probes.select(
+        F.col("vec_id").alias("query_id"), F.explode(buckets("embedding")).alias("b0")
+    ).select(
+        "query_id",
+        F.explode(
+            F.array(F.col("b0"), *[F.col("b0").bitwiseXOR(F.lit(1 << j)) for j in range(8)])
+        ).alias("b"),
+    )
+    n_cand = (
+        corpus_b.join(probe_b, ["b"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .count()
+    )
+    assert n_cand < 0.5 * 5 * 399, f"no pruning: {n_cand} candidates"
+
+
 def test_knn_bruteforce_self_excluded_and_ranked(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     probes = emb.filter(F.col("vec_id") == 0)
