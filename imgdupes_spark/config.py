@@ -17,7 +17,12 @@ from dataclasses import asdict, dataclass, field
 @dataclass(frozen=True)
 class DedupeConfig:
     # --- fingerprinting (reference: hash_method/hash_bits, hashcache.py:130-141) ---
-    shingle_k: int = 5            # tokens per shingle (SimHash + MinHash input)
+    shingle_k: int = 5            # units per shingle (SimHash + MinHash input)
+    # shingle unit — the engine's hash-method family dispatch (reference
+    # gen_hashfunc ahash/phash/dhash/whash). "token": lowercased [0-9a-z]+
+    # runs (content similarity). "line": trimmed non-empty lines, case
+    # preserved (code corpora: moved-block detection, whitespace-insensitive).
+    shingle_unit: str = "token"
     simhash_bits: int = 64        # one LongType word; Hamming via bit_count(xor)
     minhash_perms: int = 128      # permutations per BASELINE.json north_star
     hash_seed: int = 42           # matches Spark's xxhash64 default seed
@@ -66,6 +71,10 @@ class DedupeConfig:
     set_sort_reverse: bool = False
 
     extra: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        assert self.shingle_unit in ("token", "line"), self.shingle_unit
+        assert self.grouping in ("cc", "star"), self.grouping
 
     @property
     def simhash_band_bits(self) -> int:

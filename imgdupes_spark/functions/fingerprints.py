@@ -43,6 +43,26 @@ def tokens_col(content: Column) -> Column:
     )
 
 
+def lines_col(content: Column) -> Column:
+    """Line-unit tokenization (cfg.shingle_unit='line'): trimmed non-empty
+    lines, case preserved — whitespace/indentation-insensitive (tabs too,
+    hence regex \\s rather than Spark's space-only trim), otherwise exact.
+    JVM codegen, same as tokens_col; oracle twin: oracle.line_units."""
+    return F.filter(
+        F.transform(
+            F.split(content, "\n", -1),
+            lambda ln: F.regexp_replace(ln, r"^\s+|\s+$", ""),
+        ),
+        lambda ln: ln != F.lit(""),
+    )
+
+
+def units_col(content: Column, cfg: DedupeConfig) -> Column:
+    """Fingerprint-unit dispatch (reference gen_hashfunc analogue,
+    common/hashcache.py:130-141)."""
+    return tokens_col(content) if cfg.shingle_unit == "token" else lines_col(content)
+
+
 def mix64_col(x: Column) -> Column:
     """JVM splitmix64 finalizer — bit-identical to kernels.mix64 (long
     arithmetic wraps mod 2^64; session runs with ANSI off, session.py)."""
@@ -138,6 +158,7 @@ def signatures(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
     """
     fp = make_fingerprint_udf(cfg)
     toks = tokens_col(F.col("content"))
+    units = units_col(F.col("content"), cfg)
     with_tok = corpus.select(
         doc_id_col().alias("doc_id"),
         "repo",
@@ -148,13 +169,10 @@ def signatures(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
         F.octet_length(F.col("content")).cast("long").alias("n_bytes"),
         F.length(F.col("content")).cast("long").alias("n_chars"),
         (F.size(F.split(F.col("content"), "\n"))).cast("long").alias("n_lines"),
-        toks.alias("tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.transform(units, lambda t: F.xxhash64(t)).alias("token_hashes"),
     )
-    sig = with_tok.select(
-        "*",
-        F.size("tokens").cast("long").alias("n_tokens"),
-        F.transform(F.col("tokens"), lambda t: F.xxhash64(t)).alias("token_hashes"),
-    ).withColumn("sig", fp(F.col("token_hashes")))
+    sig = with_tok.withColumn("sig", fp(F.col("token_hashes")))
     return sig.select(
         "doc_id",
         "repo",

@@ -92,25 +92,36 @@ def canonical_clusters(members: DataFrame) -> DataFrame:
     )
 
 
-def with_set_rank(members: DataFrame, cfg: DedupeConfig) -> DataFrame:
+def with_set_rank(members: DataFrame, cfg: DedupeConfig, keep_expr=None) -> DataFrame:
     """Per-set ordering (reference sort_image_list): rank 1 = the member the
     keep-first policy preserves. Reverse flips the configured key
-    (reference --reverse, common/imagededuper.py:419)."""
+    (reference --reverse, common/imagededuper.py:419). ``keep_expr`` (bool
+    Column) pre-empts the configured key — see delete_plan."""
     order = [
         F.asc(col) if (desc == cfg.set_sort_reverse) else F.desc(col)
         for col, desc in _SORT_KEYS[cfg.set_sort]
     ]
+    if keep_expr is not None:
+        order = [F.desc(keep_expr.cast("int"))] + order
     # deterministic tie-break: path then doc_id
     order += [F.asc("repo"), F.asc("path"), F.asc("doc_id")]
     w = Window.partitionBy("cluster_id").orderBy(*order)
     return members.withColumn("set_rank", F.row_number().over(w))
 
 
-def delete_plan(members: DataFrame, cfg: DedupeConfig) -> DataFrame:
+def delete_plan(
+    members: DataFrame, cfg: DedupeConfig, keep_expr=None
+) -> DataFrame:
     """Keep-first plan (reference --noprompt keep-rank-1,
     common/imagededuper.py:517-518). The engine never deletes rows — it emits
-    the plan (SURVEY.md §2.1 S7/S8)."""
-    ranked = with_set_rank(members, cfg)
+    the plan (SURVEY.md §2.1 S7/S8).
+
+    ``keep_expr`` is the rank-override hook standing in for the reference's
+    interactive preserve prompt (common/imagededuper.py:130-160, stdin-only):
+    a boolean Column — members satisfying it sort ahead of the configured
+    key, so e.g. ``F.col("repo") == "canonical"`` pins the canonical repo's
+    copy as the keeper wherever one exists."""
+    ranked = with_set_rank(members, cfg, keep_expr=keep_expr)
     return ranked.withColumn(
         "action", F.when(F.col("set_rank") == 1, F.lit("keep")).otherwise(F.lit("delete"))
     ).select("cluster_id", "doc_id", "repo", "path", "set_rank", "action", "n_bytes")
@@ -138,13 +149,19 @@ def cross_repo_flag(members: DataFrame) -> DataFrame:
     )
 
 
-def fdupes_text(canonical: DataFrame, max_sets: int | None = None) -> str:
+def fdupes_text(
+    canonical: DataFrame, max_sets: int | None = None, sameline: bool = False
+) -> str:
     """Driver-side fdupes-format rendering (reference print_duplicates,
     common/imagededuper.py:463-479): one member per line, blank line between
-    sets. Small result sets only — this is a presentation sink."""
+    sets; ``sameline`` emits each set space-separated on one line (reference
+    --sameline, :469-475). Small result sets only — a presentation sink."""
     rows = canonical.orderBy("set_num")
     if max_sets is not None:
         rows = rows.limit(max_sets)
+    if sameline:
+        lines = [" ".join(r.members) for r in rows.collect()]
+        return "\n".join(lines) + ("\n" if lines else "")
     blocks = ["\n".join(r.members) for r in rows.collect()]
     return "\n\n".join(blocks) + ("\n" if blocks else "")
 

@@ -1,10 +1,17 @@
 """Query-probe mode: find the corpus neighbors of ad-hoc probe documents.
 
 Reference: ``imgdupes --query q.jpg`` hashes one image on the driver and runs
-a single index search (common/imagededuper.py:223-232; N7 in SURVEY.md §2.3).
-Here the probe side is a (tiny) DataFrame: its band rows are broadcast and
-hash-joined against the corpus band table — a one-sided broadcast join, the
-plan Catalyst picks for any small dimension side.
+a single index search (common/imagededuper.py:223-232; N7 in SURVEY.md §2.3)
+— and it works under EVERY hash method the reference supports
+(common/hashcache.py:130-141). Here likewise: the probe runs each family
+enabled in cfg.passes (simhash Hamming bands, minhash Jaccard bands) and
+unions the verified hits.
+
+Plan shape (round-1 verdict item 4): probe FIRST, metadata LAST. The probe
+side is a (tiny) DataFrame: its band rows are broadcast and hash-joined
+against the bare corpus band projection, the verify filter prunes to the few
+survivors, and only THEN is (repo, path) attached — via a second broadcast
+join against the corpus scan. The corpus is never shuffled for a probe.
 
 The probe itself is not a member of the result set (reference pad logic,
 common/imagededuper.py:471-472): output rows are corpus docs only, keyed by
@@ -18,60 +25,129 @@ from pyspark.sql import functions as F
 
 from imgdupes_spark.config import DedupeConfig
 from imgdupes_spark.functions.fingerprints import signatures
-from imgdupes_spark.operators.lsh import simhash_bands
+from imgdupes_spark.operators.lsh import minhash_bands, simhash_bands
 
 
-def query_probe(
-    corpus_sig: DataFrame, probe_corpus: DataFrame, cfg: DedupeConfig
-) -> DataFrame:
-    """All corpus docs within hamming_d of any probe doc.
-
-    corpus_sig    signatures table of the corpus
-    probe_corpus  (repo, path, commit, lang, content) probe rows (small)
-
-    Returns (query_repo, query_path, repo, path, hamming) sorted candidates.
-    """
-    probe_sig = signatures(probe_corpus, cfg).filter(F.col("simhash").isNotNull())
-    probe_bands = simhash_bands(
-        probe_sig.select(
-            F.col("doc_id"), F.col("simhash"), F.col("repo"), F.col("path")
-        ),
-        cfg,
-    ).join(
-        probe_sig.select(
-            F.col("doc_id"),
-            F.col("repo").alias("query_repo"),
-            F.col("path").alias("query_path"),
-        ),
-        ["doc_id"],
-    ).select(
-        F.col("doc_id").alias("q_id"),
-        F.col("simhash").alias("q_simhash"),
-        "band_id",
-        "band_key",
-        "query_repo",
-        "query_path",
+def _simhash_hits(corpus_sig: DataFrame, probe_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    probe_bands = (
+        simhash_bands(probe_sig.select("doc_id", "simhash"), cfg)
+        .join(
+            probe_sig.select(
+                "doc_id",
+                F.col("repo").alias("query_repo"),
+                F.col("path").alias("query_path"),
+            ),
+            ["doc_id"],
+        )
+        .select(
+            F.col("simhash").alias("q_simhash"),
+            "band_id",
+            "band_key",
+            "query_repo",
+            "query_path",
+        )
     )
-
-    # Probe FIRST, metadata LAST (round-1 verdict item 4): the broadcast
-    # band-key join + hamming verify prune the corpus band table down to the
-    # few survivors BEFORE any metadata is attached — the corpus is never
-    # shuffled (the old plan shuffle-joined all 70x|corpus| band rows with
-    # (doc_id, repo, path) first). The survivor set is then broadcast against
-    # the corpus scan, so the whole probe is two broadcast joins over one
-    # corpus pass.
     corpus_bands = simhash_bands(corpus_sig.filter(F.col("simhash").isNotNull()), cfg)
-    hits = (
+    return (
         corpus_bands.join(F.broadcast(probe_bands), ["band_id", "band_key"])
         .withColumn(
             "hamming", F.bit_count(F.col("simhash").bitwiseXOR(F.col("q_simhash")))
         )
         .filter(F.col("hamming") <= cfg.hamming_d)
-        .select("doc_id", "query_repo", "query_path", "hamming")
+        .select(
+            "doc_id",
+            "query_repo",
+            "query_path",
+            "hamming",
+            F.lit(None).cast("double").alias("jaccard_est"),
+            F.lit("simhash").alias("origin"),
+        )
+    )
+
+
+def _minhash_hits(corpus_sig: DataFrame, probe_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """Minhash-family probe: band-key collision, then the Jaccard estimator
+    over the full signatures. The probe signatures ride along broadcast; the
+    corpus signature needed for the verify is already on the band row's doc —
+    re-joined from the (small) survivor set, still broadcast."""
+    probe_bands = (
+        minhash_bands(probe_sig.select("doc_id", "minhash"), cfg)
+        .join(
+            probe_sig.select(
+                "doc_id",
+                F.col("minhash").alias("q_minhash"),
+                F.col("repo").alias("query_repo"),
+                F.col("path").alias("query_path"),
+            ),
+            ["doc_id"],
+        )
+        .select("band_id", "band_key", "q_minhash", "query_repo", "query_path")
+    )
+    corpus_bands = minhash_bands(
+        corpus_sig.filter(F.col("minhash").isNotNull()), cfg
+    )
+    cand = (
+        corpus_bands.join(F.broadcast(probe_bands), ["band_id", "band_key"])
         .dropDuplicates(["doc_id", "query_repo", "query_path"])
     )
+    # attach the corpus signature for the survivors only (broadcast the tiny
+    # survivor set against the corpus signature projection)
+    sigs = corpus_sig.select("doc_id", "minhash")
+    cand = sigs.join(
+        F.broadcast(cand.select("doc_id", "q_minhash", "query_repo", "query_path")),
+        ["doc_id"],
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("minhash"),
+            F.col("q_minhash"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("jaccard_est", agree / F.lit(cfg.minhash_perms))
+        .filter(F.col("jaccard_est") >= cfg.jaccard_tau)
+        .select(
+            "doc_id",
+            "query_repo",
+            "query_path",
+            F.lit(None).cast("int").alias("hamming"),
+            "jaccard_est",
+            F.lit("minhash").alias("origin"),
+        )
+    )
+
+
+def query_probe(
+    corpus_sig: DataFrame, probe_corpus: DataFrame, cfg: DedupeConfig
+) -> DataFrame:
+    """All corpus docs within hamming_d (simhash pass) or jaccard_tau
+    (minhash pass) of any probe doc, per cfg.passes.
+
+    corpus_sig    signatures table of the corpus
+    probe_corpus  (repo, path, commit, lang, content) probe rows (small)
+
+    Returns (query_repo, query_path, repo, path, hamming, jaccard_est,
+    origin); one row per (probe, doc, family) hit.
+    """
+    probe_sig = signatures(probe_corpus, cfg).filter(F.col("simhash").isNotNull())
+    hits = []
+    if "simhash" in cfg.passes or "exact" in cfg.passes:
+        hits.append(_simhash_hits(corpus_sig, probe_sig, cfg))
+    if "minhash" in cfg.passes:
+        hits.append(_minhash_hits(corpus_sig, probe_sig, cfg))
+    assert hits, "query_probe: no probe-capable pass enabled in cfg.passes"
+    unioned = hits[0]
+    for h in hits[1:]:
+        unioned = unioned.unionByName(h)
+    unioned = unioned.dropDuplicates(["doc_id", "query_repo", "query_path", "origin"])
     return (
         corpus_sig.select("doc_id", "repo", "path")
-        .join(F.broadcast(hits), ["doc_id"])
-        .select("query_repo", "query_path", "repo", "path", "hamming")
+        .join(F.broadcast(unioned), ["doc_id"])
+        .select(
+            "query_repo", "query_path", "repo", "path",
+            "hamming", "jaccard_est", "origin",
+        )
     )

@@ -38,9 +38,18 @@ def tokenize(content: str) -> list[str]:
     return [t for t in _TOKEN_RE.sub(" ", content.lower()).split(" ") if t]
 
 
+_WS = " \t\x0b\f\r"  # Java regex \s, minus \n (absent within a line)
+
+
+def line_units(content: str) -> list[str]:
+    """Same spec as fingerprints.lines_col: \\s-trimmed non-empty lines, case
+    preserved (trim parity incl. tabs pinned by test_shingle_unit_line_family)."""
+    return [ln for ln in (x.strip(_WS) for x in content.split("\n")) if ln]
+
+
 def fingerprint(content: str, cfg: DedupeConfig) -> tuple[int | None, np.ndarray | None]:
     """(simhash, minhash128) for one doc; (None, None) if no tokens."""
-    toks = tokenize(content)
+    toks = tokenize(content) if cfg.shingle_unit == "token" else line_units(content)
     if not toks:
         return None, None
     th = np.array([xxh64_str(t, cfg.hash_seed) for t in toks], dtype=np.int64)

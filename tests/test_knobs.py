@@ -108,6 +108,45 @@ def test_short_doc_mid_token_out_of_scope(spark, cfg):
     assert edges.isEmpty()
 
 
+def test_shingle_unit_line_family(spark, small_corpus):
+    """cfg.shingle_unit='line' (the P2 hash-method family gap): Spark
+    signatures match the pure-Python oracle under the line spec, the knob
+    observably changes fingerprints, and line fingerprints are insensitive to
+    re-indentation but sensitive to case (the exact opposite of the token
+    family on both axes)."""
+    from imgdupes_spark import oracle
+    from imgdupes_spark.functions.fingerprints import signatures
+
+    line_cfg = DedupeConfig(shingle_unit="line")
+    tok_cfg = DedupeConfig()
+
+    texts = {
+        "base": "def f(x):\n    return x + 1\n\nclass A:\n    y = 2\n    z = 3\n",
+        # re-indented (tabs + extra spaces): same trimmed lines
+        "indent": "\tdef f(x):\n\t    return x + 1\n\n  class A:\n\t y = 2\n   z = 3\n",
+        # case change: token family equal (lowercases), line family differs
+        "case": "DEF F(X):\n    RETURN X + 1\n\nCLASS A:\n    Y = 2\n    Z = 3\n",
+    }
+    corpus = _corpus(spark, texts)
+
+    def fps(cfg):
+        return {
+            r.path: r.simhash
+            for r in signatures(corpus, cfg).select("path", "simhash").collect()
+        }
+
+    line_fp, tok_fp = fps(line_cfg), fps(tok_cfg)
+    # oracle parity under the line spec (incl. tab trimming)
+    for path, text in texts.items():
+        sim, _ = oracle.fingerprint(text, line_cfg)
+        assert line_fp[path] == sim, path
+    assert line_fp["base"] == line_fp["indent"]
+    assert line_fp["base"] != line_fp["case"]
+    assert tok_fp["base"] == tok_fp["case"]
+    # knob changes semantics, not just the config fingerprint
+    assert line_fp["base"] != tok_fp["base"]
+
+
 def test_grouping_knob_dispatches(spark, cfg, small_corpus):
     """grouping='star' reproduces the reference greedy star partition —
     different from CC on chain plants, same members schema."""

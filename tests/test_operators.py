@@ -33,9 +33,23 @@ def test_query_probe_finds_neighbors(spark, cfg, small_corpus, small_corpus_pd):
     res = query_probe(sig, probe, cfg).collect()
     found = {(r.repo, r.path) for r in res}
     assert (exact.repo, exact.path) in found
-    assert all(r.hamming == 0 for r in res if (r.repo, r.path) == (exact.repo, exact.path))
+    hit_rows = [r for r in res if (r.repo, r.path) == (exact.repo, exact.path)]
+    assert any(r.origin == "simhash" and r.hamming == 0 for r in hit_rows)
+    # the probe works under every enabled hash family (reference
+    # common/hashcache.py:130-141): the identical doc is also a minhash hit
+    assert any(r.origin == "minhash" and r.jaccard_est == 1.0 for r in hit_rows)
     # probe never returns itself
     assert ("probe/repo", "probe.py") not in found
+
+    # minhash-only config: probe still works, simhash rows absent
+    from imgdupes_spark.config import DedupeConfig
+
+    mh_only = query_probe(sig, probe, DedupeConfig(passes=("minhash",))).collect()
+    assert {(r.repo, r.path) for r in mh_only if r.origin == "minhash"} >= {
+        (exact.repo, exact.path)
+    }
+    assert all(r.origin == "minhash" for r in mh_only)
+    sig.unpersist()
 
 
 def test_scope_and_lang_filters(spark, small_corpus):
@@ -75,6 +89,33 @@ def test_set_rank_and_delete_plan(spark, cfg, small_corpus):
     mn = members.groupBy("cluster_id").agg(F.min("n_bytes").alias("mn"))
     r1r = ranked.filter("set_rank = 1").join(mn, "cluster_id")
     assert r1r.filter(F.col("n_bytes") != F.col("mn")).isEmpty()
+
+    # keep_expr rank-override hook: pin one specific member as the keeper
+    victim = members.orderBy("cluster_id", "doc_id").first()
+    hooked = delete_plan(
+        members, cfg, keep_expr=(F.col("doc_id") == victim.doc_id)
+    )
+    kept = hooked.filter(
+        (F.col("cluster_id") == victim.cluster_id) & (F.col("action") == "keep")
+    ).collect()
+    assert [r.doc_id for r in kept] == [victim.doc_id]
+    # other clusters unaffected (still exactly one keep each)
+    assert hooked.filter("action = 'keep'").groupBy("cluster_id").count().filter(
+        "count != 1"
+    ).isEmpty()
+
+
+def test_fdupes_text_variants(spark, cfg, small_corpus):
+    from imgdupes_spark.operators.clusters import canonical_clusters, fdupes_text
+
+    sig = signatures(small_corpus, cfg)
+    canonical = canonical_clusters(dedupe_members(sig, cfg)).cache()
+    multi = fdupes_text(canonical, max_sets=3)
+    same = fdupes_text(canonical, max_sets=3, sameline=True)
+    # sameline: one line per set, space-joined (reference --sameline)
+    assert len(same.rstrip("\n").split("\n")) == 3
+    assert multi.count("\n\n") == 2
+    assert sorted(multi.split()) == sorted(same.split())
 
 
 def test_summarize_and_cross_repo(spark, cfg, small_corpus):
