@@ -61,6 +61,32 @@ def main() -> None:
     timings["dedupe_lsh_cc"] = round(e2e, 3)
     e2e_total = timings["signatures"] + timings["dedupe_lsh_cc"]
 
+    # --- protocol row (BASELINE.md / round-1 verdict item 8): e2e dedupe on
+    # the SAME corpus size as the BASELINE.md measured table (460k files),
+    # min-of-k legs against steal-time noise — makes BENCH_rN round-over-round
+    # comparable. Disable with SPARK_GRAFT_PROTOCOL_REPEATS=0. ---
+    protocol_n = int(os.environ.get("SPARK_GRAFT_PROTOCOL_N", "460000"))
+    protocol_k = int(os.environ.get("SPARK_GRAFT_PROTOCOL_REPEATS", "2"))
+    if protocol_k > 0:
+        pcorpus = synthetic_corpus_spark(spark, protocol_n).persist()
+        pn = pcorpus.count()
+        legs = []
+        for _ in range(protocol_k):
+            t0 = time.time()
+            psig = signatures(pcorpus, cfg)
+            pm = dedupe_members(psig, cfg)
+            pm.count()
+            legs.append(time.time() - t0)
+        pcorpus.unpersist()
+        result_protocol = {
+            "n_files": int(pn),
+            "legs_sec": [round(x, 1) for x in legs],
+            "best_sec": round(min(legs), 1),
+            "files_per_sec": round(pn / min(legs), 1),
+        }
+    else:
+        result_protocol = None
+
     # --- shared-fixture queries (same code paths the driver cross-checks);
     # skipped in scaling mode so legs measure only the headline e2e ---
     if os.environ.get("SPARK_GRAFT_BENCH_FULL", "1") != "0":
@@ -88,6 +114,8 @@ def main() -> None:
         "files_per_sec": round(n_files / e2e_total, 1),
         "cpus": cpus,
     }
+    if result_protocol is not None:
+        result["protocol_460k"] = result_protocol
     spark.stop()
     print(json.dumps(result))
 

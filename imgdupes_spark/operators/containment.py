@@ -95,6 +95,14 @@ def containment_edges(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
     if not cfg.containment_short_docs:
         anchors = anchors.filter(F.col("kind") == 0)
 
+    # the token-level container index costs a second corpus-wide explode —
+    # build it only when the corpus actually HAS short docs (one cheap
+    # limit-1 probe job; corpora of real files usually do, the synthetic
+    # bench tables don't)
+    short_docs_present = cfg.containment_short_docs and not docs.filter(
+        ~long_d
+    ).isEmpty()
+
     cont_parts = [
         docs.filter(long_d).select(
             F.col("doc_id").alias("big_id"),
@@ -103,7 +111,7 @@ def containment_edges(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
             F.explode("shingles").alias("key"),
         )
     ]
-    if cfg.containment_short_docs:
+    if short_docs_present:
         cont_parts.append(
             docs.select(
                 F.col("doc_id").alias("big_id"),

@@ -97,18 +97,22 @@ def simhash_bands(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
 
 
 def minhash_bands(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
-    """MinHash LSH rows: band_key = xxhash64 of each signature band slice.
+    """MinHash LSH rows: band_key = xxhash64 over each band's signature
+    positions — element_at extraction, NOT F.slice: the per-band array
+    allocation of slice() measured 3x slower at 54M band rows.
 
     Deliberately does NOT carry the 128-int signature through the explode:
     a band table of n_docs x n_bands rows each lugging a ~550-byte array
     turns the self-join into a multi-GB shuffle (measured 3x the cost of the
-    whole simhash pass at 400k docs). Pairs are generated on 24-byte key rows
+    whole simhash pass at 400k docs). Pairs are generated on 16-byte key rows
     and the signatures are re-joined only for the surviving candidate pairs.
     """
     rpb = cfg.minhash_rows_per_band
     keys = F.array(
         *[
-            F.xxhash64(F.slice(F.col("minhash"), 1 + i * rpb, rpb))
+            F.xxhash64(
+                *[F.element_at(F.col("minhash"), i * rpb + j + 1) for j in range(rpb)]
+            )
             for i in range(cfg.minhash_bands)
         ]
     )
@@ -117,16 +121,66 @@ def minhash_bands(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
     )
 
 
+def simhash_band_keys(rep_sig: DataFrame, cfg: DedupeConfig, offset: int = 0) -> DataFrame:
+    """(doc_id, bkey) simhash combination keys pre-hashed to ONE 8-byte
+    column inside the array — the hot-path variant of simhash_bands.
+
+    Two measured generation savings at 119M rows (1.7M docs, local[16]):
+    dropping the simhash payload column from the exploded rows 30.5s -> 17.3s,
+    and folding the (band_id, band_key) -> xxhash64 step into the array so the
+    explode emits final join keys 17.3s -> 16.2s. A bkey hash collision can
+    only merge two buckets (extra candidates, removed at verify) — never lose
+    a pair. ``offset`` keeps key families disjoint when unioned."""
+    from itertools import combinations
+
+    r = cfg.simhash_band_bits
+    mask = (1 << r) - 1
+    m = cfg.simhash_bands - cfg.hamming_d
+    assert m >= 1, "need hamming_d < simhash_bands"
+    blocks = [
+        (F.shiftrightunsigned(F.col("simhash"), r * i).bitwiseAND(F.lit(mask)))
+        for i in range(cfg.simhash_bands)
+    ]
+    keys = []
+    for ci, combo in enumerate(combinations(range(cfg.simhash_bands), m)):
+        key = F.lit(0).cast("long")
+        for i in combo:
+            key = key * F.lit(mask + 1) + blocks[i]
+        keys.append(F.xxhash64(F.lit(offset + ci), key))
+    return rep_sig.select("doc_id", F.explode(F.array(*keys)).alias("bkey"))
+
+
+def minhash_band_keys(rep_sig: DataFrame, cfg: DedupeConfig, offset: int = 0) -> DataFrame:
+    """(doc_id, bkey) minhash band keys, pre-hashed (see simhash_band_keys;
+    element_at extraction per minhash_bands)."""
+    rpb = cfg.minhash_rows_per_band
+    keys = [
+        F.xxhash64(
+            F.lit(offset + i),
+            *[F.element_at(F.col("minhash"), i * rpb + j + 1) for j in range(rpb)],
+        )
+        for i in range(cfg.minhash_bands)
+    ]
+    return rep_sig.select("doc_id", F.explode(F.array(*keys)).alias("bkey"))
+
+
 def _pairs_from_bands(
     bands: DataFrame,
     payload: str | None,
     cfg: DedupeConfig,
     caches: list | None = None,
 ) -> DataFrame:
-    """Self-join band rows into candidate pairs (src < dst), salting hot
-    buckets. ``payload`` is an optional fingerprint column carried inline for
-    verification — only worth it for small fixed-width payloads (the 8-byte
-    simhash); wide payloads (minhash arrays) are re-joined after pair dedup.
+    """Self-join band-key rows (doc_id, bkey[, payload]) into candidate
+    pairs (src < dst), salting hot buckets. ``payload`` is an optional
+    fingerprint column carried inline for verification — only worth it for
+    small fixed-width payloads (the 8-byte simhash); wide payloads (minhash
+    arrays) are re-joined after pair dedup.
+
+    ``bkey`` is ONE hashed 8-byte join key (producers pre-hash their
+    (band_id, band_key) pairs — see simhash_band_keys): a hash collision can
+    only merge two buckets (extra candidates, filtered at verify) — it can
+    never lose a pair — and the narrow 16-byte rows keep the dominant
+    shuffle small.
 
     Cold buckets (the overwhelming majority) take a plain equi-join; buckets
     above cfg.max_bucket_size are pair-generated via (g1 <= g2) salt-pair
@@ -139,16 +193,7 @@ def _pairs_from_bands(
     # scan measured 2x faster than caching + eagerly counting 44M band rows.
     # (rep_sig MUST be eagerly cached by the caller — a lazy cache lets
     # concurrently-scheduled stages recompute the fingerprint UDF itself.)
-    #
-    # (band_id, band_key) is collapsed to ONE hashed 8-byte join key: a hash
-    # collision can only merge two buckets (extra candidates, filtered at
-    # verify) — it can never lose a pair — and the narrower rows/single join
-    # column cut the dominant shuffle's width.
-    bands = bands.select(
-        "doc_id",
-        F.xxhash64("band_id", "band_key").alias("bkey"),
-        *([payload] if payload else []),
-    )
+    bands = bands.select("doc_id", "bkey", *([payload] if payload else []))
     # bucket size via a window count: ONE shuffle of the band table (the
     # groupBy-sizes + join-back formulation shuffles it three times), and the
     # self-join below reuses the window's hash(bkey) partitioning — Catalyst
@@ -247,7 +292,10 @@ def simhash_candidate_edges(
     assert cfg.hamming_d < cfg.simhash_bands, (
         "pigeonhole guarantee requires d < number of bands"
     )
-    pairs = _pairs_from_bands(simhash_bands(rep_sig, cfg), "simhash", cfg, caches)
+    bands = simhash_bands(rep_sig, cfg).select(
+        "doc_id", F.xxhash64("band_id", "band_key").alias("bkey"), "simhash"
+    )
+    pairs = _pairs_from_bands(bands, "simhash", cfg, caches)
     return (
         pairs.dropDuplicates(["src", "dst"])
         .withColumn(
@@ -269,7 +317,7 @@ def minhash_candidate_edges(
     inclusive Hamming threshold.
     """
     pairs = _pairs_from_bands(
-        minhash_bands(rep_sig, cfg), None, cfg, caches
+        minhash_band_keys(rep_sig, cfg), None, cfg, caches
     ).dropDuplicates(["src", "dst"])
     sigs = rep_sig.select("doc_id", "minhash")
     pairs = (
@@ -331,17 +379,9 @@ def lsh_candidate_edges(
     n_sim_combos = comb(cfg.simhash_bands, cfg.simhash_bands - cfg.hamming_d)
     keys = []
     if "simhash" in cfg.passes:
-        keys.append(
-            simhash_bands(rep_sig, cfg).select("doc_id", "band_id", "band_key")
-        )
+        keys.append(simhash_band_keys(rep_sig, cfg, offset=0))
     if "minhash" in cfg.passes:
-        keys.append(
-            minhash_bands(rep_sig, cfg).select(
-                "doc_id",
-                (F.col("band_id") + F.lit(n_sim_combos)).alias("band_id"),
-                "band_key",
-            )
-        )
+        keys.append(minhash_band_keys(rep_sig, cfg, offset=n_sim_combos))
     bands = keys[0]
     for k in keys[1:]:
         bands = bands.unionByName(k)

@@ -27,6 +27,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_BENCH_N=os.environ.get("SPARK_GRAFT_BENCH_N", "1600000"),
         SPARK_GRAFT_BENCH_FULL=os.environ.get("SPARK_GRAFT_BENCH_FULL", "0"),
+        SPARK_GRAFT_PROTOCOL_REPEATS="0",  # legs time ONLY the headline e2e
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

@@ -31,10 +31,10 @@ def test_hot_bucket_emits_all_pairs(spark):
     path must emit all C(12,2)=66 unordered pairs — the exact round-1 repro
     (which yielded 33)."""
     cfg = DedupeConfig(max_bucket_size=2, salt_parts=4)
-    docs = [(i * 7919 + 13, 0, 1) for i in range(12)]  # arbitrary ids
-    bands = spark.createDataFrame(docs, "doc_id long, band_id int, band_key long")
+    docs = [(i * 7919 + 13, 1) for i in range(12)]  # arbitrary ids, one bucket
+    bands = spark.createDataFrame(docs, "doc_id long, bkey long")
     pairs = _all_pairs(_pairs_from_bands(bands, None, cfg))
-    ids = sorted(d for d, _, _ in docs)
+    ids = sorted(d for d, _ in docs)
     expected = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]}
     assert len(pairs) == comb(12, 2), f"got {len(pairs)} pairs, want 66"
     assert pairs == expected
@@ -45,10 +45,8 @@ def test_hot_bucket_payload_orientation(spark):
     under src_* and dst's under dst_* regardless of which join side each doc
     landed on."""
     cfg = DedupeConfig(max_bucket_size=2, salt_parts=4)
-    docs = [(i, 0, 1, i * 100) for i in range(8)]
-    bands = spark.createDataFrame(
-        docs, "doc_id long, band_id int, band_key long, simhash long"
-    )
+    docs = [(i, 1, i * 100) for i in range(8)]
+    bands = spark.createDataFrame(docs, "doc_id long, bkey long, simhash long")
     out = _pairs_from_bands(bands, "simhash", cfg)
     bad = out.filter(
         (F.col("src_simhash") != F.col("src") * 100)
@@ -65,10 +63,10 @@ def test_mixed_hot_and_cold_buckets(spark):
     rows = []
     # hot bucket: 10 docs on key 1; cold bucket: 3 docs on key 2 (subset of hot docs)
     for i in range(10):
-        rows.append((i, 0, 1))
+        rows.append((i, 1))
     for i in range(3):
-        rows.append((i, 1, 2))
-    bands = spark.createDataFrame(rows, "doc_id long, band_id int, band_key long")
+        rows.append((i, 2))
+    bands = spark.createDataFrame(rows, "doc_id long, bkey long")
     pairs = _all_pairs(_pairs_from_bands(bands, None, cfg))
     expected = {(a, b) for a in range(10) for b in range(a + 1, 10)}
     assert pairs == expected
