@@ -1,0 +1,71 @@
+"""Mega-component stress (round-1 verdict item 6): a 1M-member component —
+the boilerplate super-cluster shape — must survive CC and cluster expansion
+without a single-task straggler.
+
+Shapes tested:
+  tree   edges (i, i//2): depth ~20, the realistic giant-component topology;
+         exercises the O(log n) pointer-doubling convergence.
+  star   hub 0 with 1M spokes PLUS one max-degree node inside a bigger graph;
+         exercises the groupBy skew path in large/small-star.
+
+assign_clusters expansion over the 1M-member component exercises the
+groupBy+join stats path (the round-1 window-over-component formulation put
+the whole component in one task)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from imgdupes_spark.operators.components import connected_components
+
+N = 1_000_000
+
+
+def test_megacomponent_tree_cc_and_expansion(spark):
+    t0 = time.time()
+    edges = spark.range(1, N).select(
+        F.col("id").alias("src"), (F.col("id") / 2).cast("long").alias("dst")
+    )
+    stats: dict = {}
+    comps = connected_components(edges, _stats=stats)
+    labels = comps.groupBy("cluster_id").count().collect()
+    t_cc = time.time() - t0
+    assert len(labels) == 1
+    assert labels[0].cluster_id == 0 and labels[0]["count"] == N
+
+    # expansion: 1M docs, identity rep map, one component
+    t1 = time.time()
+    from imgdupes_spark.operators.clusters import assign_clusters
+
+    sig = spark.range(N).select(F.col("id").alias("doc_id"))
+    doc_rep = sig.select("doc_id", F.col("doc_id").alias("rep_id"))
+    members = assign_clusters(sig, doc_rep, comps)
+    got = members.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("cluster_id").alias("k"),
+        F.min("cluster_size").alias("sz"),
+    ).collect()[0]
+    t_exp = time.time() - t1
+    assert (got.n, got.k, got.sz) == (N, 1, N)
+    print(
+        f"\nmegacomponent tree: cc {t_cc:.1f}s ({stats.get('iterations')} rounds), "
+        f"expansion {t_exp:.1f}s"
+    )
+
+
+def test_megacomponent_star_skew(spark):
+    """One node with 500k-degree inside a graph that also has 500k 2-cliques:
+    the skewed groupBy keys in large/small-star must not break correctness."""
+    hub = spark.range(1, 500_001).select(
+        F.col("id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    pairs = spark.range(500_001, 1_000_001).select(
+        F.col("id").alias("src"), (F.col("id") + N).alias("dst")
+    )
+    comps = connected_components(hub.unionByName(pairs))
+    agg = comps.groupBy("cluster_id").count()
+    top = agg.orderBy(F.desc("count")).first()
+    assert top.cluster_id == 0 and top["count"] == 500_001
+    assert agg.count() == 500_001  # hub component + 500k pair components
