@@ -284,6 +284,25 @@ def _q_knn_lsh(spark, sf_dir):
     return knn_lsh(e, probes, dim=64, k=5, n_bits=4, n_tables=16, multiprobe=1)
 
 
+def _q_embedding_dedup(spark, sf_dir):
+    """Embedding-modality near-dup dedup: planted variants (v + 0.05 per
+    component, cosine ~0.92-0.95 to their base; natural pairs max ~0.51) must
+    cluster with their base at tau=0.9. RP-bucket salted self-join + exact
+    cosine verify + CC; the oracle is the brute-force cosine graph closed
+    transitively (recursive CTE)."""
+    from imgdupes_spark.operators.knn import embedding_dedup
+
+    e = _emb(_prep(spark), sf_dir).select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + 0.05).alias("embedding"),
+    )
+    corpus = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(planted)
+    return embedding_dedup(corpus, dim=64, tau=0.9)
+
+
 def _q_doc_merkle(spark, sf_dir):
     from imgdupes_spark.functions.text import merkle_fingerprint_col
 
@@ -320,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_members": _q_near_dup_members,
         "containment_pairs_engine": _q_containment_pairs_engine,
         "knn_lsh": _q_knn_lsh,
+        "embedding_dedup": _q_embedding_dedup,
         "doc_merkle": _q_doc_merkle,
         # rows-only (no oracle_sql entry):
         "doc_fingerprints": _q_doc_fingerprints,
@@ -485,6 +505,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.cluster_size AS BIGINT) AS cluster_size
             FROM sized s JOIN corpus c ON s.doc_id = c.doc_id
             WHERE s.cluster_size > 1
+        """,
+        "embedding_dedup": """
+            WITH RECURSIVE vc AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.05) AS e
+              FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            pairs AS (
+              SELECT a.vec_id AS u, b.vec_id AS v FROM vc a, vc b
+              WHERE a.vec_id <> b.vec_id
+                AND list_dot_product(a.e, b.e)
+                    / (sqrt(list_dot_product(a.e, a.e))
+                       * sqrt(list_dot_product(b.e, b.e))) >= 0.9
+            ),
+            reach(u, v) AS (
+              SELECT vec_id, vec_id FROM vc
+              UNION
+              SELECT r.u, p.v FROM reach r JOIN pairs p ON r.v = p.u
+            ),
+            lab AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u),
+            sized AS (SELECT vec_id, cluster_id,
+                      count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+                      FROM lab)
+            SELECT vec_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size
+            FROM sized WHERE cluster_size > 1
         """,
         "doc_merkle": """
             SELECT doc_id, sha256(array_to_string(

@@ -1,11 +1,16 @@
-"""Similarity search over embedding columns: brute-force cosine top-k and an
-LSH-bucketed scale path.
+"""Similarity search over embedding columns: brute-force cosine top-k, an
+LSH-bucketed probe path, and corpus-vs-corpus embedding dedup.
 
 Brute force is the correctness baseline: probe side broadcast, dot products
 as zip_with/aggregate over doubles — whole-stage codegen, no Python. The
 scale path buckets vectors by random-hyperplane sign bits (the continuous
 analogue of the simhash band trick) so each probe only scans its bucket:
 recall < 1 by design, bounded by the number of probe buckets.
+
+embedding_dedup is the all-pairs analogue (the text pipeline's near-dup pass
+over an embedding column): RP buckets -> the SAME salted bucket self-join
+the text LSH uses (operators/lsh._pairs_from_bands) -> exact cosine verify
+-> connected components. One candidate-generation engine, two modalities.
 """
 
 from __future__ import annotations
@@ -124,3 +129,71 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def embedding_dedup(
+    vectors: DataFrame,
+    dim: int,
+    tau: float = 0.9,
+    n_bits: int = 4,
+    n_tables: int = 16,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = 2000,
+    salt_parts: int = 16,
+) -> DataFrame:
+    """Cluster the corpus by embedding cosine similarity >= tau (the
+    embedding-modality near-dup dedup pass).
+
+    Candidates: every vector emits its RP bucket per table, expanded to
+    Hamming radius ``multiprobe`` (JVM bit flips) — two vectors collide when
+    their expanded sets intersect, i.e. bucket Hamming <= 2*multiprobe in
+    some table. The bucket table feeds the SAME salted self-join as the text
+    LSH (_pairs_from_bands: hot-bucket salting, 16-byte rows), then an exact
+    cosine verify and connected components.
+
+    Returns (vec_id, cluster_id, cluster_size) for multi-member clusters;
+    cluster_id = min member id. Recall is 1-(1-P(h<=2m))^T per true pair —
+    effectively 1.0 for tau >= 0.9 at the default 4 bits x 16 tables."""
+    from imgdupes_spark.config import DedupeConfig
+    from imgdupes_spark.operators.components import connected_components
+    from imgdupes_spark.operators.lsh import _pairs_from_bands
+
+    cfg = DedupeConfig(max_bucket_size=max_bucket_size, salt_parts=salt_parts)
+    buckets = make_rp_buckets_udf(dim, n_bits, n_tables)
+    v_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vecs = vectors.select(F.col(id_col).alias("doc_id"), v_d.alias("v")).persist()
+    vecs.count()  # eager: scanned by the band explode and the verify join
+
+    bands = vecs.select("doc_id", F.explode(buckets(F.col("v"))).alias("b0"))
+    if multiprobe:
+        assert multiprobe == 1, "only radius-1 multiprobe is implemented"
+        flips = F.array(
+            F.col("b0"), *[F.col("b0").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)]
+        )
+        bands = bands.select("doc_id", F.explode(flips).alias("b0"))
+    bands = bands.select("doc_id", F.col("b0").alias("bkey"))
+
+    pairs = _pairs_from_bands(bands, None, cfg).dropDuplicates(["src", "dst"])
+    edges = (
+        pairs.join(vecs.select(F.col("doc_id").alias("src"), F.col("v").alias("sv")), ["src"])
+        .join(vecs.select(F.col("doc_id").alias("dst"), F.col("v").alias("dv")), ["dst"])
+        .withColumn("cosine", _cosine(F.col("sv"), F.col("dv")))
+        .filter(F.col("cosine") >= tau)
+        .select("src", "dst")
+    )
+    comps = connected_components(edges)
+    labeled = vecs.select("doc_id").join(comps, ["doc_id"])
+    stats = (
+        labeled.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .filter(F.col("cluster_size") > 1)
+    )
+    out = (
+        labeled.join(stats, ["cluster_id"])
+        .select(F.col("doc_id").alias(id_col), "cluster_id", "cluster_size")
+        .localCheckpoint(eager=True)
+    )
+    vecs.unpersist()
+    return out

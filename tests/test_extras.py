@@ -88,6 +88,42 @@ def test_knn_multiprobe_prunes_on_clustered_embeddings(spark):
     assert n_cand < 0.5 * 5 * 399, f"no pruning: {n_cand} candidates"
 
 
+def test_embedding_dedup_clusters_planted_variants(spark):
+    """Corpus-vs-corpus embedding dedup: planted jittered twins cluster with
+    their base, nothing else merges, output is a partition."""
+    import numpy as np
+
+    from imgdupes_spark.operators.knn import embedding_dedup
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(200):
+        v = rng.standard_normal(64)
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+        if i % 10 == 0:  # planted near-dup: tiny jitter, cosine ~0.999
+            w = v + rng.standard_normal(64) * 0.02
+            rows.append((i + 1000, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_dedup(emb, dim=64, tau=0.9)
+    got = {(r.vec_id, r.cluster_id, r.cluster_size) for r in out.collect()}
+    expected = set()
+    for i in range(0, 200, 10):
+        expected |= {(i, i, 2), (i + 1000, i, 2)}
+    assert got == expected
+
+
+def test_table_source_via_catalog(spark, small_corpus):
+    """S1 table-path: load_corpus(table=...) reads a catalog table (temp view
+    stands in for the Iceberg catalog — same spark.read.table API)."""
+    from imgdupes_spark.sources.loader import load_corpus
+
+    small_corpus.createOrReplaceTempView("corpus_catalog_view")
+    df = load_corpus(spark, table="corpus_catalog_view")
+    assert df.count() == small_corpus.count()
+    assert df.columns == ["repo", "path", "commit", "lang", "content"]
+
+
 def test_knn_bruteforce_self_excluded_and_ranked(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     probes = emb.filter(F.col("vec_id") == 0)
