@@ -54,3 +54,83 @@ def stream_signatures(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    cfg: DedupeConfig,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact dedup: emit only the FIRST-seen sha256 across the
+    whole stream — the arrival-path analogue of the batch sha-collapse.
+
+    State: streaming dropDuplicates keys the state store by sha256, so a
+    duplicate arriving in a LATER micro-batch (or a later availableNow run
+    against the same checkpoint) is suppressed too — the dedup is
+    exactly-once across runs, not per-batch. At production scale bound the
+    state with ``withWatermark`` on an arrival-time column +
+    dropDuplicatesWithinWatermark (drop-in, same plan shape); unbounded
+    sha256 state is the corpus-collapse semantics the batch engine has.
+    """
+    corpus_schema = ", ".join(f"{c} string" for c in CORPUS_COLUMNS)
+    stream = (
+        spark.readStream.schema(corpus_schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(source_dir)
+    )
+    sig = signatures(stream, cfg).dropDuplicates(["sha256"])
+    writer = (
+        sig.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_arrival_stats(
+    spark: SparkSession,
+    source_dir: str,
+    query_name: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Watermarked event-time windowed aggregation over arriving corpus rows:
+    (window, lang) -> file count + bytes. Late rows inside the watermark
+    update their window; rows later than the watermark are dropped — the
+    standard late-data contract. Update-mode memory sink (monitoring
+    surface); swap format for a real sink in production.
+
+    Input files must carry an ``event_time`` timestamp column (arrival time
+    stamped by the producer)."""
+    from pyspark.sql import functions as F
+
+    corpus_schema = ", ".join(f"{c} string" for c in CORPUS_COLUMNS)
+    stream = (
+        spark.readStream.schema(corpus_schema + ", event_time timestamp")
+        .parquet(source_dir)
+    )
+    agg = (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("win"), F.col("lang"))
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(F.octet_length("content")).alias("n_bytes"),
+        )
+    )
+    writer = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

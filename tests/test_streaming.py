@@ -32,3 +32,66 @@ def test_stream_signatures_drains_and_is_exactly_once(spark, cfg, tmp_path):
     got2 = spark.read.parquet(dst)
     assert got2.count() == len(corpus_pd)
     assert got2.select("doc_id").distinct().count() == len(corpus_pd)
+
+
+def test_stream_exact_dedup_suppresses_cross_batch(spark, cfg, tmp_path):
+    """A sha256 seen in run 1 is suppressed when it re-arrives in run 2
+    (state store persists across availableNow runs via the checkpoint)."""
+    import pandas as pd
+
+    from imgdupes_spark.streaming.ingest import stream_exact_dedup
+
+    src = str(tmp_path / "in2")
+    dst = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ck2")
+
+    def rows(names_texts):
+        return pd.DataFrame(
+            [
+                {"repo": "r", "path": p, "commit": "c", "lang": "txt", "content": t}
+                for p, t in names_texts
+            ]
+        )
+
+    wave1 = rows([("a", "alpha text one"), ("b", "beta text two"),
+                  ("b2", "beta text two")])  # in-batch dup
+    spark.createDataFrame(wave1).write.mode("append").parquet(src)
+    stream_exact_dedup(spark, src, dst, ckpt, cfg).awaitTermination(120)
+    got1 = spark.read.parquet(dst)
+    assert got1.count() == 2  # in-batch dup collapsed
+
+    # wave 2: one duplicate of wave 1 + one new doc
+    wave2 = rows([("a_copy", "alpha text one"), ("c", "gamma text three")])
+    spark.createDataFrame(wave2).write.mode("append").parquet(src)
+    stream_exact_dedup(spark, src, dst, ckpt, cfg).awaitTermination(120)
+    got2 = spark.read.parquet(dst)
+    assert got2.count() == 3  # cross-batch dup suppressed, new doc emitted
+    assert got2.select("sha256").distinct().count() == 3
+
+
+def test_stream_arrival_stats_windows_and_watermark(spark, cfg, tmp_path):
+    """Watermarked windowed aggregation: counts per (10-min window, lang)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from imgdupes_spark.streaming.ingest import stream_arrival_stats
+
+    src = str(tmp_path / "in3")
+    ckpt = str(tmp_path / "ck3")
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(6):
+        rows.append({
+            "repo": "r", "path": f"p{i}", "commit": "c", "lang": "py" if i % 2 else "md",
+            "content": "x" * (i + 1),
+            "event_time": base + dt.timedelta(minutes=i * 7),  # spans 4 windows
+        })
+    spark.createDataFrame(pd.DataFrame(rows)).write.mode("append").parquet(src)
+    q = stream_arrival_stats(spark, src, "arrival_stats_t", ckpt)
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM arrival_stats_t").collect()
+    assert sum(r.n_files for r in got) == 6
+    # the first window [12:00,12:10) holds rows at +0 and +7 minutes
+    first = [r for r in got if r.win.start == base]
+    assert sum(r.n_files for r in first) == 2
