@@ -190,6 +190,24 @@ def signatures(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
     )
 
 
+def doc_id_collisions(sig: DataFrame) -> int:
+    """Count doc_id values shared by more than one distinct (repo, path,
+    commit) identity — the 64-bit birthday guard.
+
+    P(>=1 collision) ~ n^2/2^65: negligible to ~10^8 docs, ~2.7% at 10^9,
+    certain at the 10^12-file target — where doc_id must widen to 128 bits
+    (an (xxhash64 salt-a, xxhash64 salt-b) pair; same plan shapes, wider
+    key). Until then this one-aggregate check makes a silent collision —
+    which would merge two unrelated documents' identities — loud.
+    DedupePipeline runs it on the signatures stage by default."""
+    return (
+        sig.groupBy("doc_id")
+        .agg(F.countDistinct("repo", "path", "commit").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+
+
 def quarantine(sig: DataFrame) -> DataFrame:
     """Rows with no fingerprint (reference sentinel analogue) — explicit,
     out-of-band, never cluster members."""

@@ -115,9 +115,13 @@ class DedupePipeline:
         df, rows = self._write(name, compute())
         return self._record(name, df, t0, resumed=False, rows=rows)
 
-    def run(self, corpus: DataFrame, resume: bool = True) -> DataFrame:
+    def run(
+        self, corpus: DataFrame, resume: bool = True, validate_ids: bool = True
+    ) -> DataFrame:
         """Full pipeline; returns the members table (doc-level cluster
-        assignments). Each stage is read from its checkpoint when fresh."""
+        assignments). Each stage is read from its checkpoint when fresh.
+        ``validate_ids`` runs the 64-bit doc_id birthday guard (one
+        aggregate over the signatures checkpoint)."""
         cfg = self.cfg
 
         t0 = time.time()
@@ -148,6 +152,16 @@ class DedupePipeline:
             F.coalesce(F.bit_xor(F.xxhash64("doc_id", "sha256")), F.lit(0)).alias("h"),
         ).collect()[0]
         self.data_fp = f"{row.n}x{row.h & 0xFFFFFFFF:08x}"
+        if validate_ids:
+            from imgdupes_spark.functions.fingerprints import doc_id_collisions
+
+            n_coll = doc_id_collisions(sig)
+            if n_coll:
+                raise RuntimeError(
+                    f"{n_coll} doc_id collisions: distinct (repo, path, commit) "
+                    "identities share a 64-bit doc_id — widen doc_id_col to "
+                    "128 bits for this corpus size (fingerprints.doc_id_col)"
+                )
         doc_rep = doc_rep_map(sig).persist()
         edge_caches: list[DataFrame] = []
         edges = self._stage(

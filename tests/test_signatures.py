@@ -54,3 +54,15 @@ def test_signatures_repartition_invariant(spark, cfg, small_corpus):
     cols = ["repo", "path", "sha256", "simhash", "n_shingles"]
     assert sorted(map(tuple, a.select(cols).collect())) == \
         sorted(map(tuple, b.select(cols).collect()))
+
+
+def test_doc_id_collision_guard(spark, cfg, small_corpus):
+    from pyspark.sql import functions as F
+
+    from imgdupes_spark.functions.fingerprints import doc_id_collisions, signatures
+
+    sig = signatures(small_corpus, cfg)
+    assert doc_id_collisions(sig) == 0
+    # forge a collision: same doc_id, different path
+    forged = sig.limit(1).withColumn("path", F.lit("forged/other/path"))
+    assert doc_id_collisions(sig.unionByName(forged)) == 1
