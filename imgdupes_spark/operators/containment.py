@@ -8,13 +8,17 @@ finds verbatim containment with an inverted-index candidate step and a pure
 JVM verify:
 
   candidate  If A's tokens appear contiguously in B, every token-shingle of A
-             is a shingle of B — in particular A's cfg.containment_anchors
-             smallest shingle hashes. Contained side emits those anchor keys;
-             container side emits (shingle, doc) for each distinct shingle;
-             equi-join on the hash and keep pairs where ALL of A's live
-             anchors matched (AND-combination). Cost is linear in total
-             tokens (one shuffle of ~20-byte rows) — the scale path, vs the
-             O(n^2) all-pairs a suffix array over the whole corpus would need.
+             is a shingle of B — so ANY of A's shingles works as a probe key.
+             Contained side anchors on its cfg.containment_anchors RAREST
+             shingles (rarity = container-side key frequency, one linear
+             join); container side emits (shingle, doc) for each distinct
+             shingle; equi-join on the hash and keep pairs where ALL of A's
+             anchors matched (AND-combination). Candidate volume is bounded
+             by the sum of the chosen keys' container counts — tiny when any
+             rare shingle exists, vs up to anchors*max_bucket_size for
+             hash-min anchor choice on near-boilerplate corpora. Total cost
+             stays linear in corpus tokens — the scale path, vs the O(n^2)
+             all-pairs a suffix array over the whole corpus would need.
   short docs Docs with n_tokens < shingle_k fold to ONE whole-doc shingle
              that can never equal a container's k-window (round-1 recall
              hole): they instead anchor on ALL their distinct token hashes,
@@ -25,12 +29,11 @@ JVM verify:
   verify     contains(container.content, contained.content) — exact verbatim
              substring, whole-stage codegen, no Python.
 
-Skew guard: an anchor key that matches more than cfg.max_bucket_size
-containers (ubiquitous boilerplate) is dropped from the candidate join and
-the AND runs over the SURVIVING anchors — so a doc whose min shingle is
-boilerplate is still found through its other anchors (the round-1
-single-anchor design lost it). A doc is unfindable only when ALL its anchors
-are boilerplate-dropped — a documented recall bound, not a silent cap.
+Skew guard: keys with more than cfg.max_bucket_size containers (ubiquitous
+boilerplate) are dropped from both the index and anchor choice; with
+rarest-first anchoring a doc is unfindable only when ALL its shingles are
+boilerplate-hot — a documented recall bound, not a silent cap (the round-1
+single-hash-min-anchor design lost any doc whose min shingle was hot).
 
 Recall bounds, by construction: boundary tokens of A may merge with B's
 surrounding text under tokenization; shingles strictly interior to A are
@@ -73,27 +76,29 @@ def _with_shingles(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
     )
 
 
-def containment_edges(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
+def containment_edges(
+    corpus: DataFrame, cfg: DedupeConfig, caches: list | None = None
+) -> DataFrame:
     """Edges (src, dst, origin='contain') where one doc's content is a
-    verbatim proper substring of the other's. src < dst (canonical)."""
+    verbatim proper substring of the other's. src < dst (canonical).
+
+    When ``caches`` is provided (the pipeline path), the tokenize+shingle
+    projection is persisted once: the anchor, container, skew-guard and
+    verify branches otherwise each re-scan AND re-tokenize the corpus —
+    8 full passes at 100 TB (plan-audited). The two content columns for the
+    verify stay as pruned scans (content is cheaper to re-read than to
+    cache alongside the shingle arrays)."""
     n_anchor = max(1, cfg.containment_anchors)
     docs = _with_shingles(corpus, cfg)
+    if caches is not None:
+        light = docs.drop("content").persist()
+        light.count()
+        caches.append(light)
+        content_cols = docs.select("doc_id", "content")
+        docs = light
+    else:
+        content_cols = docs.select("doc_id", "content")
     long_d = F.col("n_tok") >= cfg.shingle_k
-
-    # contained-side anchors: the n_anchor smallest distinct shingles (long
-    # docs, kind 0) or every distinct token hash (short docs, kind 1)
-    anchors = docs.select(
-        F.col("doc_id").alias("small_id"),
-        F.col("ln").alias("small_ln"),
-        F.when(long_d, F.lit(0)).otherwise(F.lit(1)).alias("kind"),
-        F.explode(
-            F.when(long_d, F.slice(F.array_sort("shingles"), 1, n_anchor)).otherwise(
-                F.col("toks")
-            )
-        ).alias("key"),
-    )
-    if not cfg.containment_short_docs:
-        anchors = anchors.filter(F.col("kind") == 0)
 
     # the token-level container index costs a second corpus-wide explode —
     # build it only when the corpus actually HAS short docs (one cheap
@@ -124,15 +129,62 @@ def containment_edges(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
     for p in cont_parts[1:]:
         container = container.unionByName(p)
 
-    # skew guard: drop anchor keys with pathologically many container matches
-    # from BOTH sides — the AND below then runs over the surviving anchors
-    hot_keys = (
-        container.groupBy("kind", "key")
-        .agg(F.count("*").alias("key_n"))
-        .filter(F.col("key_n") > cfg.max_bucket_size)
-        .select("kind", "key")
+    key_counts = container.groupBy("kind", "key").agg(F.count("*").alias("key_n"))
+    hot_keys = key_counts.filter(F.col("key_n") > cfg.max_bucket_size).select(
+        "kind", "key"
     )
-    live = anchors.join(hot_keys, ["kind", "key"], "left_anti")
+
+    # Contained-side anchors for long docs: the n_anchor RAREST shingles —
+    # rarity read off the container-side key counts (one linear join), NOT
+    # the n_anchor hash-smallest. Any shingle of a contained doc appears in
+    # every true container, so anchor choice is recall-free; choosing by
+    # container frequency bounds the candidate join volume at
+    # sum(key_n of chosen) per doc instead of up to n_anchor*max_bucket_size
+    # when a hash-min anchor lands on near-boilerplate (measured 19x on the
+    # boilerplate-heavy synthetic corpus — see BASELINE.md). key_n is 0 for
+    # shingles in NO container — safe as anchors: a truly contained doc
+    # cannot have one. Hot keys (> max_bucket_size) are excluded as before —
+    # a doc is now unfindable only when ALL its shingles are boilerplate-hot.
+    sh_all = docs.filter(long_d).select(
+        F.col("doc_id").alias("small_id"),
+        F.col("ln").alias("small_ln"),
+        F.explode("shingles").alias("key"),
+    )
+    ranked = (
+        sh_all.join(
+            key_counts.filter(F.col("kind") == 0).select("key", "key_n"),
+            ["key"],
+            "left",
+        )
+        .withColumn("key_n", F.coalesce("key_n", F.lit(0)))
+        .filter(F.col("key_n") <= cfg.max_bucket_size)
+    )
+    anchors = (
+        ranked.groupBy("small_id", "small_ln")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("key_n", "key"))), 1, n_anchor
+            ).alias("picks")
+        )
+        .select(
+            "small_id",
+            "small_ln",
+            F.lit(0).alias("kind"),
+            F.explode("picks").alias("p"),
+        )
+        .select("small_id", "small_ln", "kind", F.col("p.key").alias("key"))
+    )
+    if cfg.containment_short_docs:
+        # short docs: every distinct token hash is an anchor (<= k-1 of them)
+        anchors1 = docs.filter(~long_d).select(
+            F.col("doc_id").alias("small_id"),
+            F.col("ln").alias("small_ln"),
+            F.lit(1).alias("kind"),
+            F.explode("toks").alias("key"),
+        ).join(hot_keys, ["kind", "key"], "left_anti")
+        anchors = anchors.unionByName(anchors1)
+
+    live = anchors
     container = container.join(hot_keys, ["kind", "key"], "left_anti")
     n_live = live.groupBy("small_id").agg(F.count("*").alias("n_live"))
 
@@ -150,10 +202,10 @@ def containment_edges(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
     )
 
     # verify: ship content only for candidate docs (semi-joined), JVM contains()
-    small_c = docs.select(
+    small_c = content_cols.select(
         F.col("doc_id").alias("small_id"), F.col("content").alias("small_content")
     )
-    big_c = docs.select(
+    big_c = content_cols.select(
         F.col("doc_id").alias("big_id"), F.col("content").alias("big_content")
     )
     verified = (

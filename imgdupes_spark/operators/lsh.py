@@ -503,7 +503,7 @@ def all_candidate_edges(
     if corpus is not None and cfg.containment_enabled:
         from imgdupes_spark.operators.containment import containment_edges
 
-        unioned = unioned.unionByName(containment_edges(corpus, cfg))
+        unioned = unioned.unionByName(containment_edges(corpus, cfg, caches))
     ranked = (
         unioned
         .withColumn(

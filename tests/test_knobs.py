@@ -74,14 +74,36 @@ def _found_ab(edges, corpus) -> bool:
     return edges.filter((F.col("src") == a) & (F.col("dst") == b)).count() == 1
 
 
-def test_multi_anchor_recovers_boilerplate_min_shingle(spark, boiler_corpus):
-    """max_bucket_size=2 drops every P-interior shingle key (7 containers);
-    a single anchor (= the min shingle, inside P) then loses the A-in-B pair,
-    two AND-combined anchors recover it."""
+def test_rarest_anchor_survives_boilerplate_min_shingle(spark, boiler_corpus):
+    """max_bucket_size=2 makes every P-interior shingle key hot (7
+    containers). Hash-min anchoring (round 1) lost the A-in-B pair whenever
+    the min shingle fell inside P; rarest-first anchoring picks a tail
+    shingle and finds it even with a single anchor."""
     one = DedupeConfig(max_bucket_size=2, containment_anchors=1)
     two = DedupeConfig(max_bucket_size=2, containment_anchors=2)
-    assert not _found_ab(containment_edges(boiler_corpus, one), boiler_corpus)
+    assert _found_ab(containment_edges(boiler_corpus, one), boiler_corpus)
     assert _found_ab(containment_edges(boiler_corpus, two), boiler_corpus)
+
+
+def test_all_boilerplate_doc_is_documented_recall_bound(spark, cfg):
+    """A contained doc whose EVERY shingle is boilerplate-hot is unfindable —
+    the documented bound (every key it could anchor on is guard-dropped)."""
+    P = " ".join(f"bp{i:02d}" for i in range(30))
+    texts = {"A": " ".join(P.split()[:25])}  # strictly inside P
+    for i in range(6):
+        texts[f"boiler{i}"] = P + f" tail{i:02d} pad{i:02d}"
+    corpus = _corpus(spark, texts)
+    edges = containment_edges(corpus, DedupeConfig(max_bucket_size=2))
+    ids = {
+        r.path: r.doc_id
+        for r in corpus.select(
+            "path", F.xxhash64("repo", "path", "commit").alias("doc_id")
+        ).collect()
+    }
+    # A is truly contained in every boiler doc but all its anchor keys are hot
+    assert edges.filter(
+        (F.col("src") == ids["A"]) | (F.col("dst") == ids["A"])
+    ).isEmpty()
 
 
 def test_short_doc_containment(spark, cfg):
