@@ -142,6 +142,40 @@ def make_fingerprint_udf(cfg: DedupeConfig):
     return fingerprint
 
 
+def make_shingles_udf(cfg: DedupeConfig):
+    """Scalar pandas UDF: array<long> token hashes -> array<long> DISTINCT
+    shingle hashes (set semantics, order unspecified).
+
+    Same numpy kernel as the fingerprint UDF — bit-identical values to the
+    JVM shingles_col + array_distinct, ~10x faster (the JVM higher-order
+    fold evaluates a nested aggregate per window; measured 66s vs ~7s for
+    the containment projection at 115k docs). Used where full shingle
+    ARRAYS are needed per doc (containment); probes and parity tests keep
+    the pure-JVM shingles_col."""
+    k = cfg.shingle_k
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def shingles(token_hashes: pd.Series) -> pd.Series:
+        lists = [
+            np.asarray(v, dtype=np.int64) if v is not None else np.empty(0, np.int64)
+            for v in token_hashes
+        ]
+        lengths = np.array([len(t) for t in lists], dtype=np.int64)
+        if lengths.sum() == 0:
+            tok = np.empty(0, dtype=np.uint64)
+        else:
+            tok = np.concatenate([t.view(np.uint64) for t in lists if len(t)])
+        sh, counts = kernels.shingle_hashes_batch(tok, lengths, k)
+        u_sh, u_counts = kernels.unique_per_doc(sh, counts)
+        offs = np.concatenate(([0], np.cumsum(u_counts)))
+        s64 = u_sh.view(np.int64)
+        return pd.Series(
+            [s64[offs[i] : offs[i + 1]].tolist() for i in range(len(lists))]
+        )
+
+    return shingles
+
+
 def signatures(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
     """Corpus (repo, path, commit, lang, content) -> signatures table.
 

@@ -51,14 +51,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from imgdupes_spark.config import DedupeConfig
-from imgdupes_spark.functions.fingerprints import (
-    doc_id_col,
-    shingles_col,
-    tokens_col,
-)
+from imgdupes_spark.functions.fingerprints import doc_id_col, tokens_col
 
 
 def _with_shingles(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """(doc_id, content, ln, n_tok, shingles, toks, n_sh): tokenization stays
+    JVM codegen; the per-window shingle fold runs in the numpy kernel UDF
+    (same bits as the JVM shingles_col — set semantics; ~10x faster, see
+    make_shingles_udf)."""
+    from imgdupes_spark.functions.fingerprints import make_shingles_udf
+
+    sh_udf = make_shingles_udf(cfg)
     token_hashes = F.transform(tokens_col(F.col("content")), lambda t: F.xxhash64(t))
     return (
         corpus.select(
@@ -66,9 +69,7 @@ def _with_shingles(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
             F.col("content"),
             F.length("content").alias("ln"),
             F.size(token_hashes).alias("n_tok"),
-            F.array_distinct(shingles_col(token_hashes, cfg.shingle_k)).alias(
-                "shingles"
-            ),
+            sh_udf(token_hashes).alias("shingles"),
             F.array_distinct(token_hashes).alias("toks"),
         )
         .withColumn("n_sh", F.size("shingles"))
