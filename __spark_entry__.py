@@ -303,6 +303,27 @@ def _q_embedding_dedup(spark, sf_dir):
     return embedding_dedup(corpus, dim=64, tau=0.9)
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    """EXACT n-gram Jaccard (the quantity MinHash estimates): word unigram
+    (vocabulary overlap) and word trigram Jaccard for 25 cross pairs —
+    set ops over distinct n-gram arrays, all whole-stage codegen."""
+    from imgdupes_spark.functions.text import ngram_jaccard_cols
+
+    d = _docs(_prep(spark), sf_dir)
+    left = d.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("a"), F.col("text").alias("ta")
+    )
+    right = d.filter(F.col("doc_id") % 100 == 50).select(
+        F.col("doc_id").alias("b"), F.col("text").alias("tb")
+    )
+    pairs = left.crossJoin(F.broadcast(right))
+    j1 = ngram_jaccard_cols(F.col("ta"), F.col("tb"), 1)
+    j3 = ngram_jaccard_cols(F.col("ta"), F.col("tb"), 3)
+    return pairs.select(
+        "a", "b", j1.alias("jaccard_1"), j3.alias("jaccard_3")
+    )
+
+
 def _q_doc_merkle(spark, sf_dir):
     from imgdupes_spark.functions.text import merkle_fingerprint_col
 
@@ -340,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs_engine": _q_containment_pairs_engine,
         "knn_lsh": _q_knn_lsh,
         "embedding_dedup": _q_embedding_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
         "doc_merkle": _q_doc_merkle,
         # rows-only (no oracle_sql entry):
         "doc_fingerprints": _q_doc_fingerprints,
@@ -532,6 +554,25 @@ def oracle_sql() -> dict[str, str]:
                       FROM lab)
             SELECT vec_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size
             FROM sized WHERE cluster_size > 1
+        """,
+        "ngram_jaccard": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (
+              SELECT doc_id,
+                list_distinct(toks) AS g1,
+                list_distinct(list_transform(
+                  generate_series(1, greatest(len(toks) - 2, 0)),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS g3
+              FROM t
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+              round(CAST(len(list_intersect(a.g1, b.g1)) AS DOUBLE)
+                / greatest(len(list_distinct(list_concat(a.g1, b.g1))), 1), 6)
+                AS jaccard_1,
+              round(CAST(len(list_intersect(a.g3, b.g3)) AS DOUBLE)
+                / greatest(len(list_distinct(list_concat(a.g3, b.g3))), 1), 6)
+                AS jaccard_3
+            FROM g a, g b WHERE a.doc_id % 100 = 0 AND b.doc_id % 100 = 50
         """,
         "doc_merkle": """
             SELECT doc_id, sha256(array_to_string(

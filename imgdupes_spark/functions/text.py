@@ -87,6 +87,31 @@ def merkle_fingerprint_col(content: Column) -> Column:
     return F.sha2(F.concat_ws("", line_hashes), 256)
 
 
+def word_ngrams_col(content: Column, k: int) -> Column:
+    """Distinct word k-grams as strings (space-joined) — the
+    engine-portable n-gram representation (DuckDB computes it verbatim,
+    unlike the xxhash64 shingles). k=1 = distinct vocabulary."""
+    toks = tokens_col(content)
+    if k == 1:
+        return F.array_distinct(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_cols(a: Column, b: Column, k: int) -> Column:
+    """EXACT Jaccard |A∩B|/|A∪B| over distinct word k-grams of two texts —
+    the quantity the MinHash signature estimates (operators/lsh.py), as a
+    pure set-op codegen expression for verification and small-pair scoring.
+    Empty-vs-empty pairs score 0."""
+    ga, gb = word_ngrams_col(a, k), word_ngrams_col(b, k)
+    inter = F.size(F.array_intersect(ga, gb)).cast("double")
+    union = F.greatest(F.size(F.array_union(ga, gb)), F.lit(1))
+    return F.round(inter / union, 6)
+
+
 def text_profile(docs: DataFrame, content_col: str = "content") -> DataFrame:
     """One-pass curation profile: id columns + token count + quality features
     + language guess."""

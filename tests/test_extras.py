@@ -159,3 +159,24 @@ def test_multimodal_plumbing(spark):
     assert feats[1].width == 64 + d[0] * 4
     assert resize_plan(assets).count() == 3
     assert frame_sample_plan(assets).count() == 1
+
+
+def test_ngram_jaccard_known_values(spark):
+    from imgdupes_spark.functions.text import ngram_jaccard_cols
+
+    df = spark.createDataFrame(
+        [
+            ("a b c d", "a b c d", 1.0, 1.0),          # identical
+            ("a b c d", "c d a b", 1.0, 0.0),          # same vocab, no shared trigram
+            ("a b c", "x y z", 0.0, 0.0),              # disjoint
+            ("a b c d e", "a b c d x", 4 / 6, 2 / 4),  # overlap
+        ],
+        "ta string, tb string, e1 double, e3 double",
+    )
+    out = df.select(
+        ngram_jaccard_cols(F.col("ta"), F.col("tb"), 1).alias("j1"),
+        ngram_jaccard_cols(F.col("ta"), F.col("tb"), 3).alias("j3"),
+        "e1", "e3",
+    ).collect()
+    for r in out:
+        assert abs(r.j1 - r.e1) < 1e-6 and abs(r.j3 - r.e3) < 1e-6, r
