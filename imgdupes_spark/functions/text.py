@@ -94,11 +94,20 @@ def word_ngrams_col(content: Column, k: int) -> Column:
     toks = tokens_col(content)
     if k == 1:
         return F.array_distinct(toks)
+    # short-doc guard: size(toks) < k must yield [] — an unguarded
+    # sequence(1, size-k+1) is DESCENDING when size<k (Spark defaults the
+    # step to -1) and slice(toks, 0, k) then throws at runtime, aborting the
+    # whole job on the first 0/1-token doc. CaseWhen evaluates the gram
+    # branch only when the guard holds, and the empty branch matches the
+    # DuckDB oracle's empty generate_series(1, 0).
+    n_grams = F.size(toks) - (k - 1)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+        F.sequence(F.lit(1), n_grams),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
-    return F.array_distinct(grams)
+    return F.when(n_grams >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def ngram_jaccard_cols(a: Column, b: Column, k: int) -> Column:

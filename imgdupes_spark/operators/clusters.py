@@ -92,25 +92,104 @@ def canonical_clusters(members: DataFrame) -> DataFrame:
     )
 
 
-def with_set_rank(members: DataFrame, cfg: DedupeConfig, keep_expr=None) -> DataFrame:
-    """Per-set ordering (reference sort_image_list): rank 1 = the member the
-    keep-first policy preserves. Reverse flips the configured key
-    (reference --reverse, common/imagededuper.py:419). ``keep_expr`` (bool
-    Column) pre-empts the configured key — see delete_plan."""
+# clusters larger than this bypass the per-cluster window (one task sorting
+# the whole cluster) for the range-partitioned two-pass rank below. 2M rows
+# of the narrow members schema sort comfortably inside one executor task;
+# tune down for smaller executors or up for fewer shuffles.
+MEGA_CLUSTER_ROWS = 2_000_000
+
+
+def _set_order(cfg: DedupeConfig, keep_expr) -> list:
+    """The per-set total order (reference sort_image_list keys + reverse +
+    keep hook + deterministic repo/path/doc_id tie-break)."""
     order = [
         F.asc(col) if (desc == cfg.set_sort_reverse) else F.desc(col)
         for col, desc in _SORT_KEYS[cfg.set_sort]
     ]
     if keep_expr is not None:
         order = [F.desc(keep_expr.cast("int"))] + order
-    # deterministic tie-break: path then doc_id
+    # deterministic tie-break: path then doc_id (doc_id makes it total)
     order += [F.asc("repo"), F.asc("path"), F.asc("doc_id")]
+    return order
+
+
+def _mega_cluster_rank(members: DataFrame, order: list) -> DataFrame:
+    """Exact per-cluster row_number without a per-cluster sort task.
+
+    A window partitioned by cluster_id puts an entire mega-cluster (a 20-line
+    license file duplicated 10^8 times is ONE cluster) into ONE task. Instead:
+
+      1. range-partition by (cluster_id, *order) — Spark's range partitioner
+         splits a huge cluster across many contiguous partitions, each task
+         sorting ~rows/parts rows regardless of cluster size;
+      2. rank locally within (partition, cluster) — bounded window;
+      3. add per-(partition, cluster) offsets = rows of the same cluster in
+         earlier partitions (a window over the tiny counts table: at most
+         one row per partition per cluster).
+
+    The order must be TOTAL (callers append doc_id) so ranks are unambiguous
+    across partition boundaries. The range-partitioned table is
+    localCheckpointed: the range partitioner samples, so the partition ids
+    must be pinned before two downstream passes read them."""
+    spark = members.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parted = (
+        members.repartitionByRange(n_parts, F.col("cluster_id"), *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = parted.groupBy("_pid", "cluster_id").agg(F.count("*").alias("_n"))
+    w_off = (
+        Window.partitionBy("cluster_id")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid",
+        "cluster_id",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_loc = Window.partitionBy("_pid", "cluster_id").orderBy(*order)
+    return (
+        parted.withColumn("_lr", F.row_number().over(w_loc))
+        .join(offsets, ["_pid", "cluster_id"])
+        .withColumn("set_rank", (F.col("_off") + F.col("_lr")).cast("int"))
+        .drop("_pid", "_lr", "_off")
+    )
+
+
+def with_set_rank(
+    members: DataFrame,
+    cfg: DedupeConfig,
+    keep_expr=None,
+    mega_cluster_rows: int | None = MEGA_CLUSTER_ROWS,
+) -> DataFrame:
+    """Per-set ordering (reference sort_image_list): rank 1 = the member the
+    keep-first policy preserves. Reverse flips the configured key
+    (reference --reverse, common/imagededuper.py:419). ``keep_expr`` (bool
+    Column) pre-empts the configured key — see delete_plan.
+
+    Clusters above ``mega_cluster_rows`` (requires the ``cluster_size``
+    column assign_clusters emits) take the range-partitioned two-pass rank
+    instead of the single-task window — same ranks, no straggler. Pass
+    ``mega_cluster_rows=None`` to force the plain window everywhere."""
+    order = _set_order(cfg, keep_expr)
     w = Window.partitionBy("cluster_id").orderBy(*order)
-    return members.withColumn("set_rank", F.row_number().over(w))
+    if mega_cluster_rows is None or "cluster_size" not in members.columns:
+        return members.withColumn("set_rank", F.row_number().over(w))
+    big_pred = F.col("cluster_size") > mega_cluster_rows
+    ranked = members.filter(~big_pred).withColumn("set_rank", F.row_number().over(w))
+    big = members.filter(big_pred)
+    if big.isEmpty():  # one cheap probe job; skips the 3-shuffle mega path
+        return ranked
+    return ranked.unionByName(_mega_cluster_rank(big, order))
 
 
 def delete_plan(
-    members: DataFrame, cfg: DedupeConfig, keep_expr=None
+    members: DataFrame,
+    cfg: DedupeConfig,
+    keep_expr=None,
+    mega_cluster_rows: int | None = MEGA_CLUSTER_ROWS,
 ) -> DataFrame:
     """Keep-first plan (reference --noprompt keep-rank-1,
     common/imagededuper.py:517-518). The engine never deletes rows — it emits
@@ -121,7 +200,9 @@ def delete_plan(
     a boolean Column — members satisfying it sort ahead of the configured
     key, so e.g. ``F.col("repo") == "canonical"`` pins the canonical repo's
     copy as the keeper wherever one exists."""
-    ranked = with_set_rank(members, cfg, keep_expr=keep_expr)
+    ranked = with_set_rank(
+        members, cfg, keep_expr=keep_expr, mega_cluster_rows=mega_cluster_rows
+    )
     return ranked.withColumn(
         "action", F.when(F.col("set_rank") == 1, F.lit("keep")).otherwise(F.lit("delete"))
     ).select("cluster_id", "doc_id", "repo", "path", "set_rank", "action", "n_bytes")
@@ -142,11 +223,16 @@ def summarize(members: DataFrame) -> DataFrame:
 
 def cross_repo_flag(members: DataFrame) -> DataFrame:
     """Reference subdir warning (common/imagededuper.py:499-505): flag sets
-    whose members span >1 repo."""
-    w = Window.partitionBy("cluster_id")
-    return members.withColumn(
-        "cross_repo", F.size(F.collect_set("repo").over(w)) > 1
+    whose members span >1 repo.
+
+    groupBy + join back, NOT a collect_set window: the window buffers a whole
+    mega-cluster's repo set in one task; the groupBy gets map-side partial
+    aggregation (countDistinct expands to a bounded two-phase plan) and the
+    join fans the one-bit flag back out."""
+    flags = members.groupBy("cluster_id").agg(
+        (F.countDistinct("repo") > 1).alias("cross_repo")
     )
+    return members.join(flags, ["cluster_id"]).select(*members.columns, "cross_repo")
 
 
 def fdupes_text(

@@ -180,3 +180,28 @@ def test_ngram_jaccard_known_values(spark):
     ).collect()
     for r in out:
         assert abs(r.j1 - r.e1) < 1e-6 and abs(r.j3 - r.e3) < 1e-6, r
+
+
+def test_ngram_short_docs_no_crash(spark):
+    """Docs with fewer than k tokens must yield empty k-gram sets, not a
+    SparkRuntimeException from the descending sequence(1, size-k+1) —
+    the round-2 ADVICE medium finding (text.py word_ngrams_col)."""
+    from imgdupes_spark.functions.text import ngram_jaccard_cols, word_ngrams_col
+
+    df = spark.createDataFrame(
+        [("",), ("one",), ("two tokens",), ("...!?",), ("a b c",)],
+        "t string",
+    )
+    rows = df.select(
+        F.col("t"),
+        word_ngrams_col(F.col("t"), 3).alias("g3"),
+        ngram_jaccard_cols(F.col("t"), F.col("t"), 3).alias("jself"),
+        ngram_jaccard_cols(F.col("t"), F.lit("a b c"), 3).alias("jabc"),
+    ).collect()
+    by_t = {r.t: r for r in rows}
+    for t in ("", "one", "two tokens", "...!?"):
+        assert by_t[t].g3 == [], by_t[t]
+        assert by_t[t].jself == 0.0  # empty-vs-empty scores 0 (docstring)
+        assert by_t[t].jabc == 0.0
+    assert by_t["a b c"].g3 == ["a b c"]
+    assert by_t["a b c"].jself == 1.0

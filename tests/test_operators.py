@@ -105,6 +105,28 @@ def test_set_rank_and_delete_plan(spark, cfg, small_corpus):
     ).isEmpty()
 
 
+def test_mega_cluster_rank_parity(spark, cfg, small_corpus):
+    """The range-partitioned two-pass rank (mega-cluster path) must produce
+    EXACTLY the plain window's ranks — forced over every cluster with
+    mega_cluster_rows=0, compared row-by-row, including reverse + keep_expr."""
+    sig = signatures(small_corpus, cfg)
+    members = dedupe_members(sig, cfg).cache()
+    victim = members.orderBy("cluster_id", "doc_id").first()
+    for c, keep in [
+        (cfg, None),
+        (DedupeConfig(set_sort_reverse=True), None),
+        (DedupeConfig(set_sort="path"), None),
+        (cfg, F.col("doc_id") == victim.doc_id),
+    ]:
+        plain = with_set_rank(members, c, keep_expr=keep, mega_cluster_rows=None)
+        mega = with_set_rank(members, c, keep_expr=keep, mega_cluster_rows=0)
+        key = ["doc_id", "set_rank"]
+        assert plain.count() == mega.count()
+        assert (
+            plain.select(key).exceptAll(mega.select(key)).isEmpty()
+        ), f"rank mismatch for {c.set_sort} reverse={c.set_sort_reverse} keep={keep is not None}"
+
+
 def test_fdupes_text_variants(spark, cfg, small_corpus):
     from imgdupes_spark.operators.clusters import canonical_clusters, fdupes_text
 

@@ -55,6 +55,54 @@ def test_megacomponent_tree_cc_and_expansion(spark):
     )
 
 
+def test_megacluster_output_stage(spark):
+    """Round-2 verdict item 1: the output stage (set_rank/delete_plan and
+    cross_repo_flag) must survive a 1M-member cluster without a single-task
+    per-cluster sort. Forces the range-partitioned rank branch and checks the
+    ranks are exactly the permutation 1..N with the right keeper."""
+    from imgdupes_spark.config import DedupeConfig
+    from imgdupes_spark.operators.clusters import cross_repo_flag, delete_plan
+
+    cfg = DedupeConfig()
+    members = (
+        spark.range(N)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit(0).cast("long").alias("cluster_id"),
+            F.lit(N).cast("long").alias("cluster_size"),
+            (F.col("id") % 7).cast("string").alias("repo"),
+            F.concat(F.lit("f/"), F.col("id")).alias("path"),
+            # two docs tie at the max size -> repo/path tie-break exercised
+            F.when(F.col("id") <= 1, 10_000).otherwise(F.col("id") % 999).alias("n_bytes"),
+        )
+        .repartition(8)
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.time()
+    plan = delete_plan(members, cfg, mega_cluster_rows=100_000)
+    stats = plan.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("set_rank").alias("k"),
+        F.min("set_rank").alias("lo"),
+        F.max("set_rank").alias("hi"),
+        F.sum(F.when(F.col("action") == "keep", 1).otherwise(0)).alias("keeps"),
+    ).collect()[0]
+    t_rank = time.time() - t0
+    assert (stats.n, stats.k, stats.lo, stats.hi, stats.keeps) == (N, N, 1, N, 1)
+    # keeper = max n_bytes, tie-broken by repo asc ('0' beats '1') -> doc_id 0
+    keeper = plan.filter("set_rank = 1").collect()
+    assert [r.doc_id for r in keeper] == [0]
+
+    t1 = time.time()
+    flagged = cross_repo_flag(members)
+    got = flagged.agg(
+        F.count("*").alias("n"), F.min(F.col("cross_repo").cast("int")).alias("x")
+    ).collect()[0]
+    t_flag = time.time() - t1
+    assert (got.n, got.x) == (N, 1)  # 7 repos -> every row flagged
+    print(f"\nmegacluster output stage: delete_plan {t_rank:.1f}s, cross_repo {t_flag:.1f}s")
+
+
 def test_megacomponent_star_skew(spark):
     """One node with 500k-degree inside a graph that also has 500k 2-cliques:
     the skewed groupBy keys in large/small-star must not break correctness."""
