@@ -1,0 +1,31 @@
+"""RDD-level cache bookkeeping for localCheckpoint artifacts.
+
+``DataFrame.persist``/``unpersist`` go through the SQL CacheManager, but
+``localCheckpoint`` pins its RDD directly in the SparkContext's persistent-RDD
+registry — ``df.unpersist()`` on a checkpointed DataFrame is a no-op, so a
+multi-round algorithm that checkpoints per iteration (connected components)
+would pin every round's edge table for the session unless the JVM happens to
+GC the Python references. These helpers release checkpoints deterministically
+by RDD id: snapshot the registry, materialize, release the delta once the
+downstream consumer has its own materialized copy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def persistent_rdd_ids(spark: SparkSession) -> set:
+    """Ids of all currently persisted RDDs (caches AND local checkpoints)."""
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def release_rdd_ids(spark: SparkSession, ids: set) -> None:
+    """Unpersist the given RDD ids (non-blocking). Ids already released (or
+    collected by the ContextCleaner) are skipped. ONLY safe once nothing
+    downstream can recompute through the checkpointed lineage — i.e. after
+    the consumer has materialized its own persist/checkpoint."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        if jmap.containsKey(i):
+            jmap.get(i).unpersist(False)

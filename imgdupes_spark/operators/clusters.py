@@ -210,8 +210,9 @@ def delete_plan(
 
 def summarize(members: DataFrame) -> DataFrame:
     """Reference summarize (common/imagededuper.py:386-400): duplicate-file
-    count, set count, total bytes of non-kept members. KB convention = /1000
-    (reference :397)."""
+    count, set count, total bytes over ALL members of multi-member sets —
+    the reference's "distinct duplicate files" semantics. KB convention =
+    /1000 (reference :397)."""
     dup_only = members  # every member of a multi-member cluster is a duplicate file
     return dup_only.agg(
         F.count("*").alias("n_duplicate_files"),
@@ -359,8 +360,14 @@ def dedupe_members(
         ),
         doc_rep,
     )
+    from imgdupes_spark.caching import persistent_rdd_ids, release_rdd_ids
+
+    spark = sig.sparkSession
+    pre_cc = persistent_rdd_ids(spark)
     comps = connected_components(edges)
+    cc_ids = persistent_rdd_ids(spark) - pre_cc  # CC's final checkpoint
     members = assign_clusters(sig, doc_rep, comps).localCheckpoint(eager=True)
+    release_rdd_ids(spark, cc_ids)  # members is materialized; comps is dead
     for c in caches:
         c.unpersist()
     return members

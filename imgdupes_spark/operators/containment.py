@@ -40,9 +40,10 @@ surrounding text under tokenization; shingles strictly interior to A are
 unaffected, and an anchor hits a boundary shingle with probability
 ~ a*(k-1)/n for doc length n. Short docs are found for token-aligned
 containments (every token of A appears verbatim in B's token stream);
-mid-token embeddings of a short doc are out of scope (tests pin this).
-Equal-content pairs are the exact-dup path's job and are excluded here
-(strictly smaller content length).
+mid-token embeddings of a short doc are out of scope (tests pin this), as
+are zero-token docs (punctuation/whitespace-only — no keys to anchor on;
+see containment_edges docstring). Equal-content pairs are the exact-dup
+path's job and are excluded here (strictly smaller content length).
 """
 
 from __future__ import annotations
@@ -83,22 +84,32 @@ def containment_edges(
     """Edges (src, dst, origin='contain') where one doc's content is a
     verbatim proper substring of the other's. src < dst (canonical).
 
-    When ``caches`` is provided (the pipeline path), the tokenize+shingle
-    projection is persisted once: the anchor, container, skew-guard and
-    verify branches otherwise each re-scan AND re-tokenize the corpus —
-    8 full passes at 100 TB (plan-audited). The two content columns for the
-    verify stay as pruned scans (content is cheaper to re-read than to
-    cache alongside the shingle arrays)."""
+    The tokenize+shingle projection is ALWAYS persisted once: the anchor,
+    container, skew-guard and verify branches otherwise each re-scan AND
+    re-tokenize the corpus — 8 full passes at 100 TB (plan-audited). With
+    ``caches`` (the pipeline path) the caller drains it after materializing
+    downstream; with ``caches=None`` (direct API calls) the result is
+    materialized here (localCheckpoint) and the cache released before
+    returning — no session-lifetime leak, no re-tokenization either way
+    (round-2 verdict item 3). The two content columns for the verify stay as
+    pruned scans (content is cheaper to re-read than to cache alongside the
+    shingle arrays).
+
+    Recall bound (in addition to the mid-token and boilerplate-hot bounds in
+    the module header): docs whose content has ZERO tokens (punctuation or
+    whitespace only) are excluded from BOTH sides — they have no token or
+    shingle keys to anchor or index on. Such a doc is never reported as
+    contained even when it is a verbatim substring; a zero-token CONTAINER
+    can only contain other zero-token docs, so nothing else is lost."""
     n_anchor = max(1, cfg.containment_anchors)
+    self_managed = caches is None
     docs = _with_shingles(corpus, cfg)
+    light = docs.drop("content").persist()
+    light.count()
     if caches is not None:
-        light = docs.drop("content").persist()
-        light.count()
         caches.append(light)
-        content_cols = docs.select("doc_id", "content")
-        docs = light
-    else:
-        content_cols = docs.select("doc_id", "content")
+    content_cols = docs.select("doc_id", "content")
+    docs = light
     long_d = F.col("n_tok") >= cfg.shingle_k
 
     # the token-level container index costs a second corpus-wide explode —
@@ -214,9 +225,13 @@ def containment_edges(
         .join(big_c, ["big_id"])
         .filter(F.contains(F.col("big_content"), F.col("small_content")))
     )
-    return verified.select(
+    out = verified.select(
         F.least("small_id", "big_id").alias("src"),
         F.greatest("small_id", "big_id").alias("dst"),
         F.lit(None).cast("int").alias("hamming"),
         F.lit("contain").alias("origin"),
     )
+    if self_managed:
+        out = out.localCheckpoint(eager=True)
+        light.unpersist()
+    return out

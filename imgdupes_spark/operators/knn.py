@@ -175,7 +175,11 @@ def embedding_dedup(
         bands = bands.select("doc_id", F.explode(flips).alias("b0"))
     bands = bands.select("doc_id", F.col("b0").alias("bkey"))
 
-    pairs = _pairs_from_bands(bands, None, cfg).dropDuplicates(["src", "dst"])
+    # thread a local caches list so the band table persisted inside
+    # _pairs_from_bands is drained after the result is materialized
+    # (caches=None would leak it for the session — round-2 verdict item 2)
+    caches: list[DataFrame] = []
+    pairs = _pairs_from_bands(bands, None, cfg, caches).dropDuplicates(["src", "dst"])
     edges = (
         pairs.join(vecs.select(F.col("doc_id").alias("src"), F.col("v").alias("sv")), ["src"])
         .join(vecs.select(F.col("doc_id").alias("dst"), F.col("v").alias("dv")), ["dst"])
@@ -183,7 +187,11 @@ def embedding_dedup(
         .filter(F.col("cosine") >= tau)
         .select("src", "dst")
     )
+    from imgdupes_spark.caching import persistent_rdd_ids, release_rdd_ids
+
+    pre_cc = persistent_rdd_ids(vectors.sparkSession)
     comps = connected_components(edges)
+    cc_ids = persistent_rdd_ids(vectors.sparkSession) - pre_cc
     labeled = vecs.select("doc_id").join(comps, ["doc_id"])
     stats = (
         labeled.groupBy("cluster_id")
@@ -195,5 +203,8 @@ def embedding_dedup(
         .select(F.col("doc_id").alias(id_col), "cluster_id", "cluster_size")
         .localCheckpoint(eager=True)
     )
+    release_rdd_ids(vectors.sparkSession, cc_ids)  # out is materialized
+    for c in caches:
+        c.unpersist()
     vecs.unpersist()
     return out

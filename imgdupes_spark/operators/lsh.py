@@ -211,6 +211,7 @@ def _pairs_from_bands(
     if caches is not None:
         # caller unpersists after the pair join has been materialized
         caches.append(b)
+    self_managed = caches is None
 
     cold = b.filter(F.col("bucket_n") <= cfg.max_bucket_size)
     l, r = cold.alias("l"), cold.alias("r")
@@ -276,7 +277,16 @@ def _pairs_from_bands(
         )
         .dropDuplicates(["src", "dst"])
     )
-    return cold_pairs.unionByName(hot_pairs)
+    pairs = cold_pairs.unionByName(hot_pairs)
+    if self_managed:
+        # no caches list to hand `b` to: materialize the pairs now
+        # (localCheckpoint truncates lineage off the cached band table) and
+        # release the cache before returning — a caches=None caller must not
+        # leak executor storage for the rest of the session (round-2 verdict
+        # item 2). Pipeline callers pass ``caches`` and keep the lazy plan.
+        pairs = pairs.localCheckpoint(eager=True)
+        b.unpersist()
+    return pairs
 
 
 def simhash_candidate_edges(

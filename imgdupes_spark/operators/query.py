@@ -4,8 +4,8 @@ Reference: ``imgdupes --query q.jpg`` hashes one image on the driver and runs
 a single index search (common/imagededuper.py:223-232; N7 in SURVEY.md §2.3)
 — and it works under EVERY hash method the reference supports
 (common/hashcache.py:130-141). Here likewise: the probe runs each family
-enabled in cfg.passes (simhash Hamming bands, minhash Jaccard bands) and
-unions the verified hits.
+enabled in cfg.passes (exact sha256 equality, simhash Hamming bands, minhash
+Jaccard bands) and unions the verified hits.
 
 Plan shape (round-1 verdict item 4): probe FIRST, metadata LAST. The probe
 side is a (tiny) DataFrame: its band rows are broadcast and hash-joined
@@ -26,6 +26,30 @@ from pyspark.sql import functions as F
 from imgdupes_spark.config import DedupeConfig
 from imgdupes_spark.functions.fingerprints import signatures
 from imgdupes_spark.operators.lsh import minhash_bands, simhash_bands
+
+
+def _exact_hits(corpus_sig: DataFrame, probe_sig: DataFrame) -> DataFrame:
+    """Exact-family probe: sha256 equality (hamming 0 by definition). Probed
+    by content hash, not fingerprint — works for quarantined (fingerprint-
+    less) probes too, and never returns a mere simhash collision as 'exact'
+    (round-2 advice: passes=('exact',) must not surface hamming<=d hits)."""
+    probe = probe_sig.select(
+        "sha256",
+        F.col("repo").alias("query_repo"),
+        F.col("path").alias("query_path"),
+    )
+    return (
+        corpus_sig.select("doc_id", "sha256")
+        .join(F.broadcast(probe), ["sha256"])
+        .select(
+            "doc_id",
+            "query_repo",
+            "query_path",
+            F.lit(0).alias("hamming"),
+            F.lit(None).cast("double").alias("jaccard_est"),
+            F.lit("exact").alias("origin"),
+        )
+    )
 
 
 def _simhash_hits(corpus_sig: DataFrame, probe_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
@@ -132,9 +156,12 @@ def query_probe(
     Returns (query_repo, query_path, repo, path, hamming, jaccard_est,
     origin); one row per (probe, doc, family) hit.
     """
-    probe_sig = signatures(probe_corpus, cfg).filter(F.col("simhash").isNotNull())
+    probe_all = signatures(probe_corpus, cfg)
+    probe_sig = probe_all.filter(F.col("simhash").isNotNull())
     hits = []
-    if "simhash" in cfg.passes or "exact" in cfg.passes:
+    if "exact" in cfg.passes:
+        hits.append(_exact_hits(corpus_sig, probe_all))
+    if "simhash" in cfg.passes:
         hits.append(_simhash_hits(corpus_sig, probe_sig, cfg))
     if "minhash" in cfg.passes:
         hits.append(_minhash_hits(corpus_sig, probe_sig, cfg))

@@ -81,7 +81,12 @@ class DedupePipeline:
         df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
             "overwrite"
         ).parquet(self._path(stage))
-        return self._read(stage), int(obs.get["rows"])
+        rows = int(obs.get["rows"])
+        # sidecar row count (underscore-prefixed: invisible to the parquet
+        # reader) so a resumed stage doesn't need a count job (_record)
+        with open(os.path.join(self._path(stage), "_ROWS"), "w") as fh:
+            fh.write(str(rows))
+        return self._read(stage), rows
 
     def _record(
         self, name: str, df: DataFrame, t0: float, resumed: bool, rows: int | None = None
@@ -111,7 +116,12 @@ class DedupePipeline:
     def _stage(self, name: str, compute, resume: bool) -> DataFrame:
         t0 = time.time()
         if resume and self._exists(name):
-            return self._record(name, self._read(name), t0, resumed=True)
+            rows = None
+            rows_file = os.path.join(self._path(name), "_ROWS")
+            if os.path.exists(rows_file):  # avoids a count job per resumed stage
+                with open(rows_file) as fh:
+                    rows = int(fh.read())
+            return self._record(name, self._read(name), t0, resumed=True, rows=rows)
         df, rows = self._write(name, compute())
         return self._record(name, df, t0, resumed=False, rows=rows)
 
@@ -174,11 +184,17 @@ class DedupePipeline:
         # the edges checkpoint is on disk — the LSH-internal caches are dead
         for c in edge_caches:
             c.unpersist()
+        from imgdupes_spark.caching import persistent_rdd_ids, release_rdd_ids
+
+        pre_cc = persistent_rdd_ids(self.spark)
         comps = self._stage(
             "components",
             lambda: connected_components(rep_edges(edges, doc_rep)),
             resume,
         )
+        # the components checkpoint is on disk — CC's in-memory final
+        # localCheckpoint (which backs its returned DataFrame) is dead
+        release_rdd_ids(self.spark, persistent_rdd_ids(self.spark) - pre_cc)
         members = self._stage(
             "members",
             lambda: assign_clusters(sig, doc_rep, comps),

@@ -1,0 +1,81 @@
+"""Round-2 verdict item 2: operators must not leak persisted DataFrames.
+
+Every operator that persists an intermediate must drain it before returning:
+the only persistent RDDs left behind are the operator's OWN materialized
+result (ops that return a localCheckpoint(eager=True) pin exactly that — an
+intentional, bounded artifact the caller owns, released when the result is
+GC'd). A leaked intermediate (e.g. the band table inside _pairs_from_bands)
+shows up as an EXTRA persistent RDD that nobody can release — at 100 TB
+that's billions of cached band rows pinned for the session.
+
+The assertions count NEW entries in sc.getPersistentRDDs() relative to a
+snapshot taken before the call (the session fixtures keep their own caches).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from imgdupes_spark.config import DedupeConfig
+from imgdupes_spark.functions.fingerprints import signatures
+from imgdupes_spark.operators.clusters import dedupe_members
+from imgdupes_spark.operators.containment import containment_edges
+from imgdupes_spark.operators.knn import embedding_dedup
+from imgdupes_spark.operators.lsh import _pairs_from_bands
+
+
+def _persistent_ids(spark) -> set:
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def _new_after(spark, before: set) -> set:
+    return _persistent_ids(spark) - before
+
+
+def test_pairs_from_bands_self_manages_cache(spark, cfg):
+    before = _persistent_ids(spark)
+    bands = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 10).alias("bkey")
+    )
+    pairs = _pairs_from_bands(bands, None, cfg)
+    assert pairs.count() > 0
+    new = _new_after(spark, before)
+    # exactly the returned localCheckpoint — the internal band cache is gone
+    assert len(new) <= 1, f"leaked persistent RDDs: {new}"
+
+
+def test_embedding_dedup_drains_band_cache(spark):
+    before = _persistent_ids(spark)
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    vid = 0
+    for i in range(40):
+        rows.append((vid, [float(x) for x in base[i]])); vid += 1
+        if i % 4 == 0:  # planted near-twin
+            rows.append((vid, [float(x) for x in base[i] + 0.001])); vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_dedup(vecs, dim=16, tau=0.99)
+    assert out.count() >= 20
+    new = _new_after(spark, before)
+    assert len(new) <= 1, f"leaked persistent RDDs: {new}"
+
+
+def test_containment_edges_direct_call_caches_and_drains(spark, cfg, small_corpus):
+    small_corpus.count()  # materialize the session fixture's own cache first
+    before = _persistent_ids(spark)
+    edges = containment_edges(small_corpus, cfg)
+    assert edges.count() > 0
+    new = _new_after(spark, before)
+    assert len(new) <= 1, f"leaked persistent RDDs: {new}"
+
+
+def test_dedupe_members_pipeline_drains_all(spark, cfg, small_corpus):
+    small_corpus.count()  # materialize the session fixture's own cache first
+    before = _persistent_ids(spark)
+    sig = signatures(small_corpus, cfg)
+    members = dedupe_members(sig, cfg, corpus=small_corpus)
+    assert members.count() > 0
+    new = _new_after(spark, before)
+    assert len(new) <= 1, f"leaked persistent RDDs: {new}"

@@ -49,6 +49,18 @@ def test_query_probe_finds_neighbors(spark, cfg, small_corpus, small_corpus_pd):
         (exact.repo, exact.path)
     }
     assert all(r.origin == "minhash" for r in mh_only)
+
+    # exact-only config: sha256-equality hits ONLY — no hamming<=d neighbors
+    # mislabeled as exact (round-2 advice)
+    ex_only = query_probe(sig, probe, DedupeConfig(passes=("exact",))).collect()
+    assert ex_only and all(
+        r.origin == "exact" and r.hamming == 0 for r in ex_only
+    )
+    expected = {
+        (r.repo, r.path)
+        for _, r in corpus_pd[corpus_pd.content == content].iterrows()
+    }
+    assert {(r.repo, r.path) for r in ex_only} == expected
     sig.unpersist()
 
 
