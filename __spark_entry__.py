@@ -341,6 +341,55 @@ def _q_doc_fingerprints(spark, sf_dir):
     return d.select("doc_id", doc_fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
+def _q_image_dedup(spark, sf_dir):
+    """Image near-dup clustering on REAL bytes (rows-only: the DCT pHash is
+    not SQL-expressible; the kernel spec is pinned by golden vectors in
+    tests/test_imaging.py). Assets are synthesized deterministically: the
+    first 60 doc_ids label 20 planted groups x 3 perceptual variants
+    (identity PPM / +7-brightness BMP / seeded-noise PPM) — every group must
+    come back as one 3-member cluster keyed by its min doc_id."""
+    import numpy as np
+
+    from imgdupes_spark.functions.imaging import encode_bmp, encode_ppm
+    from imgdupes_spark.operators.images import image_dedup
+    from imgdupes_spark.sources.multimodal import ASSET_SCHEMA
+
+    def mkimg(seed: int, h: int = 48, w: int = 64) -> np.ndarray:
+        r = np.random.default_rng(seed)
+        y, x = np.mgrid[0:h, 0:w]
+        img = np.zeros((h, w, 3))
+        img[..., 0] = x * 255 / w
+        img[..., 1] = y * 255 / h
+        img[..., 2] = r.integers(0, 256, (h, w))
+        x0, y0 = int(r.integers(0, w // 2)), int(r.integers(0, h // 2))
+        img[y0 : y0 + h // 3, x0 : x0 + w // 3] = r.integers(0, 256, 3)
+        return img.astype(np.uint8)
+
+    ids = [
+        r.doc_id
+        for r in _docs(_prep(spark), sf_dir)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(60)
+        .collect()
+    ]
+    rows = []
+    for i, did in enumerate(sorted(ids)):
+        g, v = i % 20, i // 20
+        base = mkimg(g)
+        if v == 0:
+            payload = encode_ppm(base)
+        elif v == 1:
+            payload = encode_bmp(np.clip(base.astype(int) + 7, 0, 255).astype(np.uint8))
+        else:
+            noise = np.random.default_rng(g).integers(-3, 4, base.shape)
+            payload = encode_ppm(np.clip(base.astype(int) + noise, 0, 255).astype(np.uint8))
+        rows.append((int(did), "image", bytearray(payload), ("image/x-test", len(payload))))
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA).repartition(8)
+    out = image_dedup(assets, DedupeConfig(hamming_d=4))
+    return out.select("asset_id", "cluster_id", "cluster_size")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": _q_exact_dup_clusters,
@@ -365,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_merkle": _q_doc_merkle,
         # rows-only (no oracle_sql entry):
         "doc_fingerprints": _q_doc_fingerprints,
+        "image_dedup": _q_image_dedup,
     }
 
 

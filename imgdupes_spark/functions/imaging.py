@@ -1,0 +1,184 @@
+"""Pure-python/numpy image decode + perceptual hash kernels.
+
+The reference fingerprints images with imagehash's pHash family (reference:
+common/hashcache.py:113-127 ``phash_org`` — grayscale, antialias-resize to
+(hash_size*highfreq_factor)^2, 2-D type-II DCT, keep the 8x8 low-frequency
+block EXCLUDING the DC row/column, threshold at the median). This module
+re-implements that published algorithm from scratch on numpy so the engine
+can fingerprint real image bytes with no imaging library on the executors:
+
+  decode    PPM (P6, maxval 255) and uncompressed 24-bit BMP (BI_RGB) —
+            both formats are fixed-layout enough to parse in ~20 lines.
+            Other formats dispatch through the DECODERS registry: register a
+            real decoder (PIL/libvips) per magic at deployment; unregistered
+            magics raise NotImplementedError (honest, not silent).
+  grayscale ITU-R BT.601 luma (the convention PIL's convert("L") uses).
+  resize    exact area-average (box) downsample via two weight matrices —
+            deterministic antialiasing; NOT bit-identical to PIL's Lanczos
+            (parity with imagehash is pinned by this repo's own golden
+            vectors, not claimed against PIL).
+  dct2      unnormalized type-II DCT, scipy.fftpack.dct-compatible scaling,
+            as two cosine-matrix multiplies.
+  phash64   median-threshold bits of dct[1:9, 1:9], packed row-major
+            MSB-first into one signed int64 — the same word layout as the
+            text simhash, so the LSH banding path applies unchanged.
+
+Encoders for both formats are included so tests (and sinks) can round-trip
+planted images without external fixtures.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- decoding
+
+
+def _ppm_tokens(buf: bytes, n: int, start: int) -> tuple[list[int], int]:
+    """Read n whitespace-separated ASCII integers from buf (PPM allows
+    '#'-comments anywhere between tokens). Returns (values, next_offset)."""
+    vals: list[int] = []
+    i = start
+    while len(vals) < n:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if i < len(buf) and buf[i : i + 1] == b"#":
+            while i < len(buf) and buf[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        vals.append(int(buf[i:j]))
+        i = j
+    return vals, i + 1  # exactly ONE whitespace byte after maxval per spec
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> HxWx3 uint8."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    (w, h, maxval), off = _ppm_tokens(payload, 3, 2)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    need = w * h * 3
+    data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+    return data.reshape(h, w, 3).copy()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) -> HxWx3 uint8.
+    Handles bottom-up (positive height, the common case) and top-down rows;
+    BGR byte order per the format."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (hdr={hdr_size}, bpp={bpp}, comp={compression})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR -> RGB
+
+
+# magic-prefix -> decoder returning HxWx3 uint8. Register real decoders
+# (PIL, libvips bindings) here at deployment for JPEG/PNG/WebP etc.
+DECODERS: dict[bytes, callable] = {
+    b"P6": decode_ppm,
+    b"BM": decode_bmp,
+}
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    for magic, fn in DECODERS.items():
+        if payload[: len(magic)] == magic:
+            return fn(payload)
+    raise NotImplementedError(
+        f"no decoder registered for magic {payload[:4]!r} — register one in "
+        "imgdupes_spark.functions.imaging.DECODERS"
+    )
+
+
+# ---------------------------------------------------------------- encoding
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + info + pix
+
+
+# ------------------------------------------------------------------ kernels
+
+
+def grayscale(img: np.ndarray) -> np.ndarray:
+    """HxWx3 uint8 -> HxW float64 BT.601 luma (PIL convert('L') convention)."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    return r * (299 / 1000) + g * (587 / 1000) + b * (114 / 1000)
+
+
+def _area_weights(src: int, dst: int) -> np.ndarray:
+    """dst x src matrix whose row k area-averages source interval
+    [k*src/dst, (k+1)*src/dst) — exact box-filter downsample."""
+    w = np.zeros((dst, src))
+    scale = src / dst
+    for k in range(dst):
+        lo, hi = k * scale, (k + 1) * scale
+        i0, i1 = int(np.floor(lo)), int(np.ceil(hi))
+        for i in range(i0, min(i1, src)):
+            w[k, i] = min(hi, i + 1) - max(lo, i)
+    return w / scale
+
+
+def resize_area(gray: np.ndarray, size: int) -> np.ndarray:
+    h, w = gray.shape
+    return _area_weights(h, size) @ gray @ _area_weights(w, size).T
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Unnormalized type-II DCT matrix (scipy.fftpack.dct norm=None scaling):
+    y[k] = 2 * sum_n x[n] * cos(pi*k*(2n+1)/(2N))."""
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    return 2.0 * np.cos(np.pi * k * (2 * m + 1) / (2 * n))
+
+
+def dct2(m: np.ndarray) -> np.ndarray:
+    d = _dct_matrix(m.shape[0])
+    return d @ m @ d.T
+
+
+def phash64(img: np.ndarray, hash_size: int = 8, highfreq_factor: int = 4) -> int:
+    """64-bit perceptual hash of an HxWx3 image (reference phash_org,
+    common/hashcache.py:113-127): low-frequency DCT block sans DC row/col,
+    median-thresholded. Bits packed row-major, MSB-first, signed int64."""
+    img_size = hash_size * highfreq_factor
+    pixels = resize_area(grayscale(img), img_size)
+    low = dct2(pixels)[1 : hash_size + 1, 1 : hash_size + 1]
+    bits = (low > np.median(low)).flatten()
+    word = 0
+    for bit in bits:
+        word = (word << 1) | int(bit)
+    return word - (1 << 64) if word >= (1 << 63) else word

@@ -1,0 +1,68 @@
+"""Image near-duplicate dedup: the reference's actual workflow (pHash ->
+Hamming threshold -> grouping, imgdupes `find`) over binary image columns.
+
+This is the modality the reference was built for; here it rides the text
+engine's machinery end-to-end: extract_image_features computes the 64-bit
+DCT pHash (reference phash_org, common/hashcache.py:113-127) in an Arrow
+mapInPandas, and because the word layout matches the text simhash, the SAME
+banded LSH self-join (salted hot buckets included), Hamming verify, and
+connected-components grouping run unchanged — one candidate-generation
+engine, three modalities (text shingles, embeddings, images).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from imgdupes_spark.config import DedupeConfig
+
+
+def image_dedup(
+    assets: DataFrame, cfg: DedupeConfig | None = None, fake: bool = False
+) -> DataFrame:
+    """Cluster image assets whose pHash Hamming distance <= cfg.hamming_d.
+
+    assets  multimodal asset table (see sources/multimodal.ASSET_SCHEMA);
+            only kind='image' rows participate.
+
+    Returns (asset_id, phash, cluster_id, cluster_size) for members of
+    multi-member clusters; cluster_id = min asset_id (same conventions as
+    the text path). Exact byte-dup collapse is NOT applied first (image
+    bytes differing by metadata still hash equal perceptually — the
+    reference also groups purely on the perceptual hash).
+    """
+    from imgdupes_spark.caching import persistent_rdd_ids, release_rdd_ids
+    from imgdupes_spark.operators.components import connected_components
+    from imgdupes_spark.operators.lsh import simhash_candidate_edges
+    from imgdupes_spark.sources.multimodal import extract_image_features
+
+    cfg = cfg or DedupeConfig()
+    spark = assets.sparkSession
+    feats = extract_image_features(assets, fake=fake).persist()
+    feats.count()  # eager: scanned by band generation and final expansion
+    sig = feats.select(
+        F.col("asset_id").alias("doc_id"), F.col("phash").alias("simhash")
+    )
+    caches: list[DataFrame] = []
+    edges = simhash_candidate_edges(sig, cfg, caches)
+    pre_cc = persistent_rdd_ids(spark)
+    comps = connected_components(edges.select("src", "dst"))
+    cc_ids = persistent_rdd_ids(spark) - pre_cc
+    stats = (
+        comps.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .filter(F.col("cluster_size") > 1)
+    )
+    out = (
+        feats.select(F.col("asset_id"), "phash")
+        .join(comps.withColumnRenamed("doc_id", "asset_id"), ["asset_id"])
+        .join(stats, ["cluster_id"])
+        .select("asset_id", "phash", "cluster_id", "cluster_size")
+        .localCheckpoint(eager=True)
+    )
+    release_rdd_ids(spark, cc_ids)
+    for c in caches:
+        c.unpersist()
+    feats.unpersist()
+    return out

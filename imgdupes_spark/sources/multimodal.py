@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode kernels themselves are STUBBED (this container has no image/audio
-libraries): ``decode_image`` raises unless ``fake=True``, in which case a
-deterministic hash-derived pseudo-decode stands in so the Spark-side plumbing
-— schema, batching, partition behavior — is real and testable. Swapping in a
-real decoder (PIL / libvips / ffmpeg on the executors' Python env) changes
-only the marked inner function.
+``fake=False`` (default) decodes REAL image bytes with the pure-python
+decoders in functions/imaging.py (PPM P6, uncompressed 24-bit BMP) and
+computes the reference's 64-bit DCT pHash (common/hashcache.py:113-127) —
+formats without a registered decoder raise NotImplementedError; register
+PIL/libvips per magic in imaging.DECODERS on a real deployment. ``fake=True``
+keeps the deterministic hash-derived pseudo-decode for plumbing-only tests.
+
+The pHash word uses the same 64-bit layout as the text simhash, so
+operators.images.image_dedup feeds it through the UNCHANGED simhash LSH ->
+verify -> connected-components path.
 
 Schema convention for a multimodal asset table:
   (asset_id long, kind string in {image,audio,video}, media binary,
@@ -55,20 +59,32 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     return width, height, 3, phash
 
 
-def extract_image_features(assets: DataFrame, fake: bool = True) -> DataFrame:
+def _real_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """Decode real image bytes and compute the reference's DCT pHash
+    (imaging.phash64). Decode is inherently per-item (opaque variable-length
+    binary); the hash itself is a vectorized numpy kernel per image."""
+    from imgdupes_spark.functions.imaging import decode_image, phash64
+
+    img = decode_image(payload or b"")
+    h, w, c = img.shape
+    return w, h, c, phash64(img)
+
+
+def extract_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + feature-extract images: one Arrow batch at a time through
     mapInPandas, binary payloads never leave the executor as Python scalars
-    row-by-row on the driver."""
+    row-by-row on the driver. NULL payloads keep the fake path's sentinel
+    behavior under fake=True and decode as a ValueError under fake=False —
+    filter them upstream (resize_plan exposes n_bytes for that)."""
+
+    decode = _fake_decode if fake else _real_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires an imaging library on executors"
-                )
-            feats = [_fake_decode(m) for m in pdf["media"]]
+            feats = [decode(m) for m in pdf["media"]]
             out = pd.DataFrame(feats, columns=["width", "height", "channels", "phash"])
             out.insert(0, "asset_id", pdf["asset_id"].to_numpy())
+            out["phash"] = out["phash"].astype("int64")
             yield out
 
     images = assets.filter(F.col("kind") == "image").select("asset_id", "media")

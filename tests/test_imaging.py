@@ -1,0 +1,127 @@
+"""Real image decode + DCT pHash + image_dedup (round-2 verdict item 3:
+multimodal is first-class, not plumbing-only).
+
+Golden values pin the kernel spec (reference phash_org semantics,
+common/hashcache.py:113-127): changing grayscale weights, the resize filter,
+DCT scaling, or bit packing breaks these on purpose.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from imgdupes_spark.functions.imaging import (
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+    phash64,
+)
+
+
+def mkimg(seed: int, h: int = 48, w: int = 64) -> np.ndarray:
+    """Deterministic structured image: two gradients + noise channel + a
+    random solid rectangle."""
+    r = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 3))
+    img[..., 0] = x * 255 / w
+    img[..., 1] = y * 255 / h
+    img[..., 2] = r.integers(0, 256, (h, w))
+    x0, y0 = int(r.integers(0, w // 2)), int(r.integers(0, h // 2))
+    img[y0 : y0 + h // 3, x0 : x0 + w // 3] = r.integers(0, 256, 3)
+    return img.astype(np.uint8)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a % 2**64) ^ (b % 2**64)).count("1")
+
+
+def test_decoder_roundtrips():
+    img = mkimg(1)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    odd = img[:, :63]  # BMP row stride padding
+    assert np.array_equal(decode_bmp(encode_bmp(odd)), odd)
+    # PPM comments between header tokens
+    hdr = b"P6\n# c1\n64 48\n# c2\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(hdr), img)
+    # dispatch by magic + honest failure for unregistered formats
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n")
+
+
+def test_phash_golden_and_invariances():
+    img = mkimg(1)
+    # golden vectors: the full decode->gray->resize->DCT->median spec
+    assert phash64(img) == 3589033340192370993
+    assert phash64(mkimg(2)) == -7033671119968017013
+    h1 = phash64(img)
+    # uniform brightness shift only moves the (excluded) DC terms
+    bright = np.clip(img.astype(int) + 10, 0, 255).astype(np.uint8)
+    assert _ham(h1, phash64(bright)) == 0
+    # 2x nearest upscale is invisible to the area downsample
+    up = np.kron(img, np.ones((2, 2, 1))).astype(np.uint8)
+    assert phash64(up) == h1
+    # small pixel noise moves few bits; distinct images move many
+    noisy = np.clip(
+        img.astype(int) + np.random.default_rng(9).integers(-4, 5, img.shape),
+        0,
+        255,
+    ).astype(np.uint8)
+    assert _ham(h1, phash64(noisy)) <= 4
+    assert _ham(h1, phash64(mkimg(2))) > 20
+    assert _ham(h1, phash64(mkimg(3))) > 20
+
+
+def test_image_dedup_clusters_planted_variants(spark):
+    """The reference workflow end-to-end on real bytes: planted
+    near-duplicate image groups (brightness/noise/upscale variants, mixed
+    PPM and BMP encodings) cluster together; distinct images stay apart."""
+    from imgdupes_spark.config import DedupeConfig
+    from imgdupes_spark.operators.images import image_dedup
+
+    rows, truth = [], {}
+    aid = 0
+    for g in range(6):
+        base = mkimg(100 + g)
+        variants = [
+            encode_ppm(base),
+            encode_bmp(np.clip(base.astype(int) + 7, 0, 255).astype(np.uint8)),
+            encode_ppm(
+                np.clip(
+                    base.astype(int)
+                    + np.random.default_rng(g).integers(-3, 4, base.shape),
+                    0,
+                    255,
+                ).astype(np.uint8)
+            ),
+        ]
+        for v in variants:
+            rows.append((aid, "image", bytearray(v), ("image/x-test", len(v))))
+            truth[aid] = g
+            aid += 1
+    for s in range(20):  # distinct singletons
+        payload = encode_ppm(mkimg(900 + s))
+        rows.append((aid, "image", bytearray(payload), ("image/x-test", len(payload))))
+        truth[aid] = f"single{s}"
+        aid += 1
+    rows.append((aid, "audio", bytearray(b"not an image"), ("audio/wav", 12)))
+
+    from imgdupes_spark.sources.multimodal import ASSET_SCHEMA
+
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA).repartition(4)
+    out = image_dedup(assets, DedupeConfig(hamming_d=4)).collect()
+    got = {r.asset_id: r.cluster_id for r in out}
+    # every planted group clusters together under one id
+    for g in range(6):
+        ids = {a for a, t in truth.items() if t == g}
+        labels = {got.get(a) for a in ids}
+        assert len(labels) == 1 and None not in labels, f"group {g}: {labels}"
+    # no singleton was absorbed, no cross-group merge
+    singles = {a for a, t in truth.items() if isinstance(t, str)}
+    assert singles.isdisjoint(got), sorted(set(got) & singles)
+    assert len({got[a] for a in got}) == 6
