@@ -50,6 +50,14 @@ class DedupeConfig:
     #     here the passes compose instead of excluding each other) ---
     passes: tuple = ("exact", "simhash", "minhash")
 
+    # --- identity width ---
+    # 64: doc_id = one xxhash64 long — collision-safe to ~10^9 docs (birthday
+    # bound; the pipeline's default-on doc_id_collisions guard catches the
+    # residual risk). 128: doc_id = struct<hi,lo> of two salt-distinct
+    # xxhash64 words for the 10^12-file target — same plan shapes (struct
+    # min/least/compare/hash are all JVM codegen), 16-byte keys.
+    doc_id_bits: int = 64
+
     # --- grouping semantics ---
     # "cc": distributed connected components (default; recall superset of the
     # reference's one-hop star groups, SURVEY.md §2.4 G1).
@@ -70,11 +78,20 @@ class DedupeConfig:
     set_sort: str = "n_bytes"     # n_bytes | path | n_chars | n_lines | n_tokens
     set_sort_reverse: bool = False
 
+    # --- star-parity scan order (reference --sort, imgdupes:67-68) ---
+    # "path": sorted filenames (reference default sort_type). "none": input
+    # order — the corpus rows as scanned, no sort (reference --sort none).
+    # Only meaningful under grouping="star": greedy star grouping depends on
+    # scan order; CC is order-free by construction.
+    scan_sort: str = "path"
+
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self):
         assert self.shingle_unit in ("token", "line"), self.shingle_unit
         assert self.grouping in ("cc", "star"), self.grouping
+        assert self.doc_id_bits in (64, 128), self.doc_id_bits
+        assert self.scan_sort in ("path", "none"), self.scan_sort
 
     @property
     def simhash_band_bits(self) -> int:

@@ -101,15 +101,25 @@ def shingles_col(token_hashes: Column, k: int) -> Column:
     return F.transform(raw, mix64_col)
 
 
-def doc_id_col() -> Column:
-    """Deterministic 64-bit doc id, stable across runs and cluster sizes
+def doc_id_col(cfg: DedupeConfig | None = None) -> Column:
+    """Deterministic doc id, stable across runs and cluster sizes
     (SURVEY.md §4.3 — never ``monotonically_increasing_id``).
 
-    Scale note: a 64-bit id is collision-safe to ~10^9 docs; at the 10^12-file
-    target widen to 128 bits (e.g. a (hi, lo) pair of xxhash64 with distinct
-    salts) — same plan shape, wider key.
+    Default (cfg None or doc_id_bits=64): one xxhash64 long — collision-safe
+    to ~10^9 docs (the pipeline's doc_id_collisions guard is default-on).
+    doc_id_bits=128: struct<hi,lo> of two salt-distinct xxhash64 words for
+    the 10^12-file target. Every downstream op (min-label CC, least/greatest
+    canonicalization, salting via xxhash64(doc_id), window orderBy) is
+    struct-compatible JVM codegen, so the plan shapes are identical — only
+    the key widens to 16 bytes.
     """
-    return F.xxhash64(F.col("repo"), F.col("path"), F.col("commit"))
+    identity = (F.col("repo"), F.col("path"), F.col("commit"))
+    if cfg is not None and cfg.doc_id_bits == 128:
+        return F.struct(
+            F.xxhash64(F.lit(0x9E3779B9), *identity).alias("hi"),
+            F.xxhash64(*identity).alias("lo"),
+        )
+    return F.xxhash64(*identity)
 
 
 def make_fingerprint_udf(cfg: DedupeConfig):
@@ -194,7 +204,7 @@ def signatures(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
     toks = tokens_col(F.col("content"))
     units = units_col(F.col("content"), cfg)
     with_tok = corpus.select(
-        doc_id_col().alias("doc_id"),
+        doc_id_col(cfg).alias("doc_id"),
         "repo",
         "path",
         "commit",

@@ -255,9 +255,10 @@ def fdupes_text(
 
 def star_parity_members(sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
     """`--grouping star` parity mode (SURVEY.md §2.4 G1): reproduce the
-    reference's greedy one-hop star grouping EXACTLY — sorted-filename scan
-    order (imgdupes:67-68), inclusive threshold, drop-edges-to-grouped-nodes
-    (common/imagededuper.py:195-221).
+    reference's greedy one-hop star grouping EXACTLY — scan order per
+    cfg.scan_sort (sorted filenames, or input order for the reference's
+    --sort none, imgdupes:67-68), inclusive threshold,
+    drop-edges-to-grouped-nodes (common/imagededuper.py:195-221).
 
     The grouping itself is inherently sequential (group membership depends on
     every earlier scan step), so the verified edge list — the distributed,
@@ -280,9 +281,14 @@ def star_parity_members(sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
     caches.append(doc_rep)
     keyed = sig.select(
         F.concat_ws("/", "repo", "path").alias("key"), "doc_id"
-    ).orderBy("key")
-    keys = [r.key for r in keyed.collect()]
-    ids = {r.key: r.doc_id for r in keyed.collect()}
+    )
+    if cfg.scan_sort == "path":
+        keyed = keyed.orderBy("key")
+    # scan_sort == "none": rows as scanned (partition order), the reference's
+    # --sort none input-order mode
+    collected = keyed.collect()
+    keys = [r.key for r in collected]
+    ids = {r.key: r.doc_id for r in collected}
     idx = {ids[k]: i for i, k in enumerate(keys)}
     # reference parity = Hamming-threshold edges only (the reference has no
     # Jaccard or containment pass): keep exact + simhash origins

@@ -66,7 +66,7 @@ def _with_shingles(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
     token_hashes = F.transform(tokens_col(F.col("content")), lambda t: F.xxhash64(t))
     return (
         corpus.select(
-            doc_id_col().alias("doc_id"),
+            doc_id_col(cfg).alias("doc_id"),
             F.col("content"),
             F.length("content").alias("ln"),
             F.size(token_hashes).alias("n_tok"),

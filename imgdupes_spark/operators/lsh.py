@@ -494,9 +494,11 @@ def all_candidate_edges(
     if caches is not None:
         caches.append(rep_sig)
     spark = sig.sparkSession
+    # seed schema follows the configured id width (long or struct<hi,lo>)
+    id_type = dict(sig.dtypes)["doc_id"]
     parts = [
         spark.createDataFrame(
-            [], "src long, dst long, hamming int, origin string"
+            [], f"src {id_type}, dst {id_type}, hamming int, origin string"
         )
     ]
     if "exact" in cfg.passes:
