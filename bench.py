@@ -87,6 +87,32 @@ def main() -> None:
     else:
         result_protocol = None
 
+    # --- containment protocol row (round-2 verdict item 8): the
+    # boilerplate-adversarial corpus that regressions in anchor choice blow
+    # up on (552s hash-min vs 58s rarest-first at 100k, BASELINE.md).
+    # Every header shingle is hot; the pass must anchor on rare body
+    # shingles and still find every planted snippet. ---
+    boiler_n = int(os.environ.get("SPARK_GRAFT_BOILER_N", "100000"))
+    if boiler_n > 0 and os.environ.get("SPARK_GRAFT_BENCH_FULL", "1") != "0":
+        from imgdupes_spark.corpus import boilerplate_corpus_spark
+        from imgdupes_spark.operators.containment import containment_edges
+
+        bcorpus, n_planted = boilerplate_corpus_spark(spark, boiler_n)
+        bcorpus = bcorpus.persist()
+        bcorpus.count()
+        t0 = time.time()
+        n_edges = containment_edges(bcorpus, cfg).count()
+        timings["containment_boiler"] = round(time.time() - t0, 3)
+        bcorpus.unpersist()
+        result_boiler = {
+            "n_docs": boiler_n,
+            "n_planted": n_planted,
+            "n_edges": int(n_edges),
+            "sec": timings["containment_boiler"],
+        }
+    else:
+        result_boiler = None
+
     # --- shared-fixture queries (same code paths the driver cross-checks);
     # skipped in scaling mode so legs measure only the headline e2e ---
     if os.environ.get("SPARK_GRAFT_BENCH_FULL", "1") != "0":
@@ -116,6 +142,8 @@ def main() -> None:
     }
     if result_protocol is not None:
         result["protocol_460k"] = result_protocol
+    if result_boiler is not None:
+        result["containment_boiler"] = result_boiler
     spark.stop()
     print(json.dumps(result))
 

@@ -188,6 +188,64 @@ def synthetic_corpus_spark(spark, n_docs: int, seed: int = 42):
     return base.unionByName(exact_twin).unionByName(near_twin).drop("id")
 
 
+def boilerplate_corpus_spark(spark, n_docs: int, seed: int = 7):
+    """Containment-adversarial synthetic corpus, generated DISTRIBUTED in
+    JVM expressions (no Python) — the bench input for the containment pass's
+    anchor-choice regression row (BASELINE.md "containment at scale").
+
+    Every doc opens with the SAME ~40-token license header, so every
+    header-window shingle is boilerplate-hot (container count = n_docs >>
+    max_bucket_size) and gets skew-guard-dropped: anchor choice MUST find
+    rare body shingles or the candidate join blows up (the round-2 hash-min
+    pathology, 552s -> 58s). Planted truth: for every id % 16 == 0 a
+    snippet doc carries a contiguous 30-token slice of that doc's body —
+    token-aligned verbatim containment the pass must find.
+
+    Returns (corpus, n_planted)."""
+    from pyspark.sql import functions as F
+
+    words = F.array(*[F.lit(w) for w in _WORDS])
+    nw = len(_WORDS)
+    header = " ".join(
+        f"license grant line{i} permission hereby granted free of charge" for i in range(5)
+    )
+
+    n_tokens = (F.pmod(F.xxhash64(F.lit(seed + 1), "id"), F.lit(151)) + 50).cast("int")
+    body_arr = F.transform(
+        F.sequence(F.lit(0), n_tokens - 1),
+        lambda j: F.element_at(
+            words,
+            (F.pmod(F.xxhash64(F.lit(seed + 2), F.col("id"), j), F.lit(nw)) + 1).cast("int"),
+        ),
+    )
+    base = spark.range(n_docs).select(
+        F.col("id"),
+        F.concat(
+            F.lit("org/boiler"),
+            F.pmod(F.xxhash64(F.lit(seed), "id"), F.lit(61)).cast("string"),
+        ).alias("repo"),
+        F.concat(F.lit("src/b"), F.col("id").cast("string"), F.lit(".py")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.lit("py").alias("lang"),
+        body_arr.alias("body"),
+    )
+    docs = base.select(
+        "repo", "path", "commit", "lang",
+        F.concat(F.lit(header), F.lit(" "), F.concat_ws(" ", F.col("body"))).alias("content"),
+    )
+    snippets = base.filter(F.col("id") % 16 == 0).select(
+        F.concat(F.col("repo"), F.lit("_snip")).alias("repo"),
+        F.concat(F.lit("snip/"), F.col("path")).alias("path"),
+        F.col("commit"),
+        F.col("lang"),
+        # contiguous token-aligned slice of the BODY (30 tokens from pos 10):
+        # single-space joins make it a verbatim substring of the container
+        F.concat_ws(" ", F.slice(F.col("body"), 11, 30)).alias("content"),
+    )
+    n_planted = (n_docs + 15) // 16
+    return docs.unionByName(snippets), n_planted
+
+
 def corpus_from_documents(spark, sf_dir: str):
     """Adapter: driver `documents` table -> corpus shape (FIXTURES.md §4:
     text plays content, source plays repo)."""

@@ -153,6 +153,14 @@ class DedupePipeline:
             sig = self._read("signatures").join(
                 corpus.select(*keys), keys, "left_semi"
             )
+            # idempotent-consumer dedup: two resumes racing on the same
+            # workdir can BOTH append the same new rows (append-only files
+            # have no MERGE transaction); duplicate identities are collapsed
+            # on read — signatures are deterministic per (identity, config),
+            # so any surviving row is the right one. Under a real Iceberg
+            # catalog the MERGE INTO makes the append itself exactly-once
+            # and this dropDuplicates is a no-op.
+            sig = sig.dropDuplicates(keys)
             sig = self._record("signatures", sig, t0, resumed=True)
         else:
             df, rows = self._write("signatures", signatures(corpus, cfg))

@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import functions as F
 
+from imgdupes_spark.config import DedupeConfig
 from imgdupes_spark.functions import kernels
 from imgdupes_spark.functions.fingerprints import shingles_col, signatures, tokens_col
 from imgdupes_spark.operators.clusters import dedupe_members
@@ -53,3 +54,28 @@ def test_pipeline_with_containment_clusters_plants(spark, cfg, small_corpus, sma
         keys = [f"{r.repo}/{r.path}" for r in ms.itertuples()]
         cids = {got.get(k) for k in keys}
         assert len(cids) == 1 and None not in cids, (grp, keys, cids)
+
+
+def test_boilerplate_corpus_planted_recall(spark, cfg):
+    """The bench's containment protocol corpus (boilerplate_corpus_spark):
+    every planted snippet must be found despite ALL header shingles being
+    skew-guard-hot — the anchor-choice regression canary at test scale."""
+    from imgdupes_spark.corpus import boilerplate_corpus_spark
+
+    corpus, n_planted = boilerplate_corpus_spark(spark, 800)
+    small_cfg = DedupeConfig(max_bucket_size=100)  # header hot even at n=800
+    edges = containment_edges(corpus, small_cfg)
+    assert edges.count() >= n_planted
+    # every snippet doc appears in at least one containment edge
+    from imgdupes_spark.functions.fingerprints import doc_id_col
+
+    snip_ids = {
+        r.doc_id
+        for r in corpus.filter(F.col("path").startswith("snip/"))
+        .select(doc_id_col().alias("doc_id"))
+        .collect()
+    }
+    endpoint_ids = {
+        x for r in edges.select("src", "dst").collect() for x in (r.src, r.dst)
+    }
+    assert snip_ids <= endpoint_ids

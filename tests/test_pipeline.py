@@ -94,3 +94,39 @@ def test_config_change_invalidates(spark, cfg, small_corpus, tmp_path):
     p2 = DedupePipeline(spark, DedupeConfig(hamming_d=2), wd)
     p2.run(small_corpus)
     assert not p2.results["edges"].resumed  # different fp -> fresh compute
+
+
+def test_concurrent_writer_overlap(spark, cfg, small_corpus, tmp_path):
+    """Two resumes racing on the same workdir (round-2 verdict item 6, the
+    in-sandbox Iceberg rehearsal): the worst-case interleaving is BOTH
+    writers appending the same new rows before either reads back. Simulated
+    deterministically by appending the incremental batch twice; the read
+    side must collapse duplicate identities so downstream output is
+    byte-identical to the single-writer run."""
+    from imgdupes_spark.functions.fingerprints import signatures as sig_fn
+    from imgdupes_spark.sources.loader import incremental_diff
+
+    wd = str(tmp_path / "wd_race")
+    half = small_corpus.limit(40)
+    DedupePipeline(spark, cfg, wd).run(half)
+
+    # race: two writers compute the same diff and both append it
+    p = DedupePipeline(spark, cfg, wd)
+    ckpt = spark.read.parquet(p._path("signatures"))
+    new, _ = incremental_diff(small_corpus, ckpt)
+    for _ in range(2):  # writer A and writer B
+        sig_fn(new, cfg).write.mode("append").parquet(p._path("signatures"))
+    raw = spark.read.parquet(p._path("signatures"))
+    n_total = small_corpus.count()
+    assert raw.count() > n_total  # duplicates really present on disk
+
+    # resume over the polluted checkpoint: output identical to a clean run
+    m_race = _members_key(DedupePipeline(spark, cfg, wd).run(small_corpus))
+    clean_wd = str(tmp_path / "wd_clean")
+    m_clean = _members_key(DedupePipeline(spark, cfg, clean_wd).run(small_corpus))
+    assert m_race == m_clean
+
+    # and the deduped signature view has exactly one row per identity
+    p3 = DedupePipeline(spark, cfg, wd)
+    p3.run(small_corpus)
+    assert p3.results["signatures"].rows == n_total
