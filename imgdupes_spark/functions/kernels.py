@@ -155,23 +155,29 @@ def simhash_fold(shingles: np.ndarray, counts: np.ndarray) -> np.ndarray:
     nz = counts > 0
     if not nz.any():
         return sim.view(np.int64)
-    offsets_all = np.concatenate(([0], np.cumsum(counts)))[:-1]
-    off_nz = offsets_all[nz]
+    doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
     bit_ids = np.arange(64, dtype=np.uint64)
-    # bit matrix via unpackbits: one SIMD pass, (n_shingles, 64) uint8 —
-    # ~6x less memory traffic than 64 shift-and-mask passes over uint64
-    # (the UDF is bandwidth-bound; this is the hot loop of the engine).
-    # little-endian uint64 view + bitorder='little' => column k == bit k.
-    bits = np.unpackbits(
-        shingles.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-    )
-    # vote sum = 2*sum(bits) - count (no votes matrix); int32 accumulator —
-    # the uint8->int32 reduceat takes numpy's SIMD path, ~10x over int64
-    ones = np.add.reduceat(bits, off_nz, axis=0, dtype=np.int32)
-    totals = counts[nz][:, None].astype(np.int32)
-    acc = 2 * ones - totals
+    # Byte-histogram + bit-LUT (round-3): instead of materializing the
+    # (n_shingles, 64) unpackbits matrix and reduceat-ing it (19MB writes per
+    # batch), bincount each of the 8 byte positions into per-doc 256-bin
+    # histograms and matmul against the 256x8 bit-count LUT — the ones-count
+    # per bit drops out of an 8x smaller intermediate. Bit-identical;
+    # measured 110ms -> 41ms per 2048-doc batch (BASELINE.md round-3 row).
+    bv = shingles.view(np.uint8).reshape(-1, 8)
+    lut = np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None], axis=1, bitorder="little"
+    ).astype(np.int32)
+    ones = np.empty((ndocs, 64), dtype=np.int32)
+    scaled = doc_of * 256
+    for p in range(8):
+        hist = np.bincount(scaled + bv[:, p], minlength=ndocs * 256).reshape(
+            ndocs, 256
+        )
+        ones[:, p * 8 : (p + 1) * 8] = hist @ lut
+    acc = 2 * ones - counts[:, None].astype(np.int32)
     packed = ((acc > 0).astype(np.uint64) << bit_ids).sum(axis=1, dtype=np.uint64)
-    sim[nz] = packed
+    packed[~nz] = 0
+    sim[:] = packed
     return sim.view(np.int64)
 
 
@@ -189,18 +195,19 @@ def minhash_fold(
     offsets_all = np.concatenate(([0], np.cumsum(counts)))[:-1]
     off_nz = offsets_all[nz]
     out_nz = np.empty((int(nz.sum()), n_perms), dtype=np.uint64)
-    # one preallocated chunk buffer reused across iterations: repeated fresh
-    # allocations of ~100MB temporaries serialize on kernel page zeroing when
-    # many UDF workers run concurrently
-    chunk = 16
-    buf = np.empty((len(shingles), chunk), dtype=np.uint64)
-    for lo in range(0, n_perms, chunk):
-        hi = min(lo + chunk, n_perms)
-        w = buf[:, : hi - lo]
-        np.multiply(shingles[:, None], a[lo:hi], out=w)
-        w += b[lo:hi]
-        w >>= np.uint64(32)
-        out_nz[:, lo:hi] = np.minimum.reduceat(w, off_nz, axis=0)
+    # Perm-major layout (round-3): one contiguous (n_shingles,) buffer per
+    # permutation — scalar-broadcast multiply + add stay in cache and SIMD,
+    # vs the (n, chunk) strided chunk layout (measured 381ms -> 81ms per
+    # 2048-doc batch, BASELINE.md round-3 row). The >>32 truncation is
+    # monotone on uint64, so it commutes with the segment-min and runs on
+    # the (ndocs,) minima instead of the full array — bit-identical. The
+    # single reused buffer keeps allocations off the kernel page-zeroing
+    # path that serialized 32 concurrent UDF workers in round 1.
+    buf = np.empty(len(shingles), dtype=np.uint64)
+    for p in range(n_perms):
+        np.multiply(shingles, a[p], out=buf)
+        buf += b[p]
+        out_nz[:, p] = np.minimum.reduceat(buf, off_nz) >> np.uint64(32)
     sig[nz] = out_nz.astype(np.uint32).astype(np.int64).astype(np.int32)
     return sig
 
