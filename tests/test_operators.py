@@ -139,6 +139,33 @@ def test_mega_cluster_rank_parity(spark, cfg, small_corpus):
         ), f"rank mismatch for {c.set_sort} reverse={c.set_sort_reverse} keep={keep is not None}"
 
 
+def test_mega_cluster_rank_hybrid_split(spark, cfg):
+    """Mixed corpus: clusters on BOTH sides of mega_cluster_rows — the small
+    one ranks via the plain window, the big one via the range-partitioned
+    path, unioned; every cluster gets exact ranks 1..size."""
+    rows = []
+    for cid, size in [(1, 10), (2, 50), (3, 3)]:
+        for i in range(size):
+            rows.append((cid * 1000 + i, cid, size, f"r{i % 3}", f"p/{cid}/{i}", i * 7 % 97))
+    members = spark.createDataFrame(
+        rows,
+        "doc_id long, cluster_id long, cluster_size long, repo string, path string, n_bytes long",
+    )
+    ranked = with_set_rank(members, cfg, mega_cluster_rows=20)
+    got = ranked.groupBy("cluster_id").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("set_rank").alias("k"),
+        F.min("set_rank").alias("lo"),
+        F.max("set_rank").alias("hi"),
+    ).collect()
+    for r in got:
+        assert (r.n, r.k, r.lo) == (r.hi, r.n, 1), r
+    # identical to the all-window ranks
+    plain = with_set_rank(members, cfg, mega_cluster_rows=None)
+    key = ["doc_id", "set_rank"]
+    assert plain.select(key).exceptAll(ranked.select(key)).isEmpty()
+
+
 def test_fdupes_text_variants(spark, cfg, small_corpus):
     from imgdupes_spark.operators.clusters import canonical_clusters, fdupes_text
 
