@@ -331,6 +331,44 @@ def _q_doc_merkle(spark, sf_dir):
     return d.select("doc_id", merkle_fingerprint_col(F.col("text")).alias("merkle"))
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3-appendix k-gram overlap pass):
+    the 'eval suite' is synthesized deterministically as the 30-token prefix
+    of every doc with doc_id % 29 == 3; a doc sharing >= 5 distinct word
+    8-grams with the suite is contaminated. The benchmark gram set is
+    broadcast — the corpus is marked map-side and folds into one narrow
+    groupBy(doc) shuffle (operators/decontaminate.py)."""
+    from imgdupes_spark.functions.fingerprints import tokens_col
+    from imgdupes_spark.operators.decontaminate import (
+        benchmark_ngrams,
+        contamination_report,
+    )
+
+    d = _docs(_prep(spark), sf_dir)
+    bench = d.filter(F.col("doc_id") % 29 == 3).select(
+        F.concat_ws(" ", F.slice(tokens_col(F.col("text")), 1, 30)).alias("text")
+    )
+    rep = contamination_report(d, benchmark_ngrams(bench, k=8), k=8, min_hits=5)
+    return rep.select(
+        "doc_id",
+        "n_grams",
+        "n_hit_grams",
+        F.col("contaminated").cast("long").alias("contaminated"),
+    )
+
+
+def _q_repetition_profile(spark, sf_dir):
+    """Gopher-style repetition/boilerplate signals per doc: duplicate-line
+    fraction (row count + chars), type/token ratio, top-token share — the
+    quality filters a pretraining pipeline applies next to dedup. Pure
+    codegen expressions except the top-token mode (explode + two-level
+    partial agg, ~one shuffled row per doc)."""
+    from imgdupes_spark.functions.text import repetition_profile
+
+    d = _docs(_prep(spark), sf_dir)
+    return repetition_profile(d, id_col="doc_id", content_col="text")
+
+
 # ---- rows-only (non-SQL-expressible: xxhash64 rolling fold) ----
 
 
@@ -412,6 +450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": _q_embedding_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "doc_merkle": _q_doc_merkle,
+        "decontaminate": _q_decontaminate,
+        "repetition_profile": _q_repetition_profile,
         # rows-only (no oracle_sql entry):
         "doc_fingerprints": _q_doc_fingerprints,
         "image_dedup": _q_image_dedup,
@@ -629,5 +669,59 @@ def oracle_sql() -> dict[str, str]:
               list_transform(string_split(text, chr(10)), x -> sha256(x)), ''))
               AS merkle
             FROM documents
+        """,
+        "decontaminate": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (
+              SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - 7, 0)),
+                i -> array_to_string(toks[i:i+7], ' '))) AS grams
+              FROM t
+            ),
+            p AS (SELECT toks[1:30] AS ptoks FROM t WHERE doc_id % 29 = 3),
+            bench AS (
+              SELECT DISTINCT unnest(list_transform(
+                generate_series(1, greatest(len(ptoks) - 7, 0)),
+                i -> array_to_string(ptoks[i:i+7], ' '))) AS gram
+              FROM p
+            ),
+            eg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            hits AS (
+              SELECT doc_id, count(*) AS n_hit
+              FROM eg JOIN bench USING (gram) GROUP BY doc_id
+            )
+            SELECT g.doc_id,
+                   CAST(len(g.grams) AS BIGINT) AS n_grams,
+                   CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit_grams,
+                   CAST(CASE WHEN coalesce(h.n_hit, 0) >= 5 THEN 1 ELSE 0 END
+                        AS BIGINT) AS contaminated
+            FROM g LEFT JOIN hits h USING (doc_id)
+        """,
+        "repetition_profile": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            topt AS (
+              SELECT doc_id, max(c) AS topc
+              FROM (SELECT doc_id, tok, count(*) AS c FROM tok
+                    GROUP BY doc_id, tok)
+              GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+              round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                    / greatest(len(lines), 1), 6) AS dup_line_frac,
+              round(CAST(list_sum(list_transform(lines, x -> len(x)))
+                         - list_sum(list_transform(list_distinct(lines),
+                                                   x -> len(x))) AS DOUBLE)
+                    / greatest(list_sum(list_transform(lines, x -> len(x))), 1),
+                    6) AS dup_line_char_frac,
+              round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                    / greatest(len(toks), 1), 6) AS distinct_token_ratio,
+              round(CAST(coalesce(topc, 0) AS DOUBLE)
+                    / greatest(len(toks), 1), 6) AS top_token_frac
+            FROM t LEFT JOIN topt USING (doc_id)
         """,
     }

@@ -121,6 +121,74 @@ def ngram_jaccard_cols(a: Column, b: Column, k: int) -> Column:
     return F.round(inter / union, 6)
 
 
+def repetition_columns(content: Column) -> list[Column]:
+    """Gopher-style repetition signals as pure codegen expressions:
+
+    * ``dup_line_frac`` — fraction of lines that are repeats of an earlier
+      line (1 - distinct/total over raw ``\\n`` splits).
+    * ``dup_line_char_frac`` — fraction of characters sitting in those
+      repeated lines (1 - chars(distinct lines)/chars(all lines)).
+    * ``distinct_token_ratio`` — type/token ratio; low values mean the doc
+      keeps repeating the same vocabulary.
+
+    Boilerplate-heavy pages (nav bars, SEO spam, log dumps) score high on
+    the dup fractions and low on the token ratio; the thresholds are the
+    caller's policy. All ratios rounded to 6 (oracle convention)."""
+    lines = F.split(content, "\n", -1)
+    n_lines = F.size(lines)
+    n_dis_lines = F.size(F.array_distinct(lines))
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    chars_all = chars(lines)
+    chars_dis = chars(F.array_distinct(lines))
+    toks = tokens_col(content)
+    safe = lambda num, den: F.round(num / F.greatest(den, F.lit(1)), 6)  # noqa: E731
+    return [
+        safe(n_lines - n_dis_lines, n_lines).alias("dup_line_frac"),
+        safe(chars_all - chars_dis, chars_all).alias("dup_line_char_frac"),
+        safe(F.size(F.array_distinct(toks)), F.size(toks)).alias(
+            "distinct_token_ratio"
+        ),
+    ]
+
+
+def repetition_profile(
+    docs: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Per-doc repetition report: :func:`repetition_columns` plus
+    ``top_token_frac`` (share of the single most frequent token — the one
+    signal that needs a frequency mode, hence an explode + two-level agg
+    instead of a per-row expression).
+
+    Scale shape: the explode side partial-aggregates (doc, token) map-side,
+    then (doc) — both shuffles carry ~one narrow row per doc; the re-join
+    onto the per-row expressions is a same-key join on ``id_col``, which AQE
+    plans as broadcast when the corpus slice is small and sort-merge
+    otherwise. No Python UDFs."""
+    c = F.col(content_col)
+    base = docs.select(
+        F.col(id_col),
+        F.size(tokens_col(c)).cast("long").alias("__n_toks"),
+        *repetition_columns(c),
+    )
+    top = (
+        docs.select(F.col(id_col), F.explode(tokens_col(c)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("__top"))
+    )
+    safe = lambda num, den: F.round(num / F.greatest(den, F.lit(1)), 6)  # noqa: E731
+    return base.join(top, id_col, "left").select(
+        id_col,
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "distinct_token_ratio",
+        safe(F.coalesce("__top", F.lit(0)), F.col("__n_toks")).alias("top_token_frac"),
+    )
+
+
 def text_profile(docs: DataFrame, content_col: str = "content") -> DataFrame:
     """One-pass curation profile: id columns + token count + quality features
     + language guess."""

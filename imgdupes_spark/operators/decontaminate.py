@@ -1,0 +1,78 @@
+"""Benchmark decontamination: flag corpus documents that overlap an
+evaluation/benchmark suite by shared word n-grams.
+
+The standard training-data hygiene pass (13-gram overlap in the GPT-3/PaLM
+appendices): any document sharing >= ``min_hits`` distinct word k-grams with
+any benchmark document is "contaminated" and should be dropped or audited
+before training. The reference engine (knjcode/imgdupes) has no analogue —
+this extends the curation surface the same way the text-profile operators do.
+
+Scale shape (the whole point at 100 TB):
+
+* The benchmark side is SMALL relative to the corpus (eval suites are
+  10^4-10^6 docs vs 10^12 corpus files), so its distinct-gram set is
+  broadcast — the corpus is never shuffled to meet it.
+* The corpus side explodes per-doc DISTINCT grams map-side, marks hits via
+  the broadcast join, and folds straight into ONE ``groupBy(doc)`` — with
+  map-side partial aggregation the only shuffle carries ~one narrow row per
+  document, regardless of gram volume or contamination rate. (A hits-table
+  re-join would either broadcast an unbounded side or shuffle the corpus
+  twice.)
+
+Everything is whole-stage codegen (tokenize/gram/join/agg); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from imgdupes_spark.functions.text import word_ngrams_col
+
+
+def benchmark_ngrams(bench: DataFrame, k: int, text_col: str = "text") -> DataFrame:
+    """Distinct word k-grams of the benchmark suite: one `gram` column,
+    globally deduplicated (the broadcast side of the contamination join)."""
+    return (
+        bench.select(F.explode(word_ngrams_col(F.col(text_col), k)).alias("gram"))
+        .distinct()
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    bench_grams: DataFrame,
+    k: int,
+    min_hits: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document contamination report against a benchmark gram set.
+
+    Returns one row per input doc: ``(id_col, n_grams, n_hit_grams,
+    contaminated)`` where ``n_grams`` is the doc's distinct word k-gram
+    count, ``n_hit_grams`` how many of those appear anywhere in the
+    benchmark suite, and ``contaminated = n_hit_grams >= min_hits``.
+    Docs with fewer than k tokens report ``n_grams = 0`` (explode_outer
+    keeps them).
+
+    ``bench_grams`` is the output of :func:`benchmark_ngrams` (or any
+    single-column `gram` DataFrame) and is broadcast.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode_outer(word_ngrams_col(F.col(text_col), k)).alias("gram"),
+    )
+    marked = grams.join(
+        F.broadcast(bench_grams.withColumn("__hit", F.lit(1))), "gram", "left"
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            # grams are per-doc distinct already (word_ngrams_col dedups),
+            # so plain counts are distinct counts
+            F.count("gram").cast("long").alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit_grams"),
+        )
+        .withColumn("contaminated", F.col("n_hit_grams") >= F.lit(min_hits))
+    )

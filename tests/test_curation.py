@@ -1,0 +1,98 @@
+"""Unit + plan tests for the curation additions: benchmark decontamination
+(operators/decontaminate.py) and repetition signals (functions/text.py).
+Oracle parity at sf0.01 is pinned by test_entry_contract.py; these cover the
+edge cases the corpus fixtures don't reach (short/empty docs, full vs
+partial overlap, empty benchmark) and the plan shape the docstrings claim."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from imgdupes_spark.functions.text import repetition_profile
+from imgdupes_spark.operators.decontaminate import (
+    benchmark_ngrams,
+    contamination_report,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # == bench doc
+            (2, "prefix words alpha beta gamma delta epsilon zeta and a tail"),
+            (3, "alpha beta gamma completely different suffix here now"),  # 1 hit
+            (4, "nothing in common with anything else at all"),
+            (5, "tiny"),  # < k tokens -> 0 grams
+            (6, ""),  # empty -> 0 grams
+        ],
+    )
+
+
+def test_contamination_partial_and_zero(spark, corpus):
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    grams = benchmark_ngrams(bench, k=3)
+    assert grams.count() == 4  # 6 tokens -> 4 distinct trigrams
+
+    rep = {
+        r.doc_id: r
+        for r in contamination_report(corpus, grams, k=3, min_hits=2).collect()
+    }
+    assert len(rep) == 6  # every doc reported, including 0-gram ones
+    assert (rep[1].n_hit_grams, rep[1].contaminated) == (4, True)  # exact copy
+    assert (rep[2].n_hit_grams, rep[2].contaminated) == (4, True)  # contains it
+    assert (rep[3].n_hit_grams, rep[3].contaminated) == (1, False)  # below min
+    assert (rep[4].n_hit_grams, rep[4].contaminated) == (0, False)
+    assert (rep[5].n_grams, rep[5].n_hit_grams) == (0, 0)
+    assert (rep[6].n_grams, rep[6].contaminated) == (0, False)
+
+
+def test_contamination_empty_benchmark(spark, corpus):
+    bench = benchmark_ngrams(_docs(spark, [(100, "ab")]), k=3)  # no grams
+    rep = contamination_report(corpus, bench, k=3, min_hits=1)
+    assert rep.filter(F.col("contaminated")).count() == 0
+    assert rep.count() == 6
+
+
+def test_contamination_plan_shape(spark, corpus):
+    """The docstring's scale claims: benchmark side broadcast (no shuffle of
+    the corpus to meet it), one partial+final agg for the report."""
+    bench = benchmark_ngrams(_docs(spark, [(100, "alpha beta gamma delta")]), k=3)
+    plan = (
+        contamination_report(corpus, bench, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "partial_count" in plan  # map-side combine before the one exchange
+
+
+def test_repetition_signals(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "same line\nsame line\nsame line\nsame line"),  # 3/4 dup lines
+            (2, "a b c d"),  # no repetition
+            (3, "spam spam spam spam"),  # one token 4x
+            (4, ""),  # degenerate
+            (5, "x\ny\nx\nz"),  # 1/4 dup lines
+        ],
+    )
+    got = {r.doc_id: r for r in repetition_profile(docs, content_col="text").collect()}
+    assert got[1].dup_line_frac == 0.75
+    assert got[1].dup_line_char_frac == 0.75  # identical lines, identical chars
+    assert got[2].dup_line_frac == 0.0
+    assert got[2].distinct_token_ratio == 1.0
+    assert got[2].top_token_frac == 0.25
+    assert got[3].distinct_token_ratio == 0.25
+    assert got[3].top_token_frac == 1.0
+    assert (got[4].dup_line_frac, got[4].top_token_frac) == (0.0, 0.0)
+    assert got[5].dup_line_frac == 0.25
