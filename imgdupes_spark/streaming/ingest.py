@@ -93,6 +93,53 @@ def stream_exact_dedup(
     return writer.start()
 
 
+def stream_neardup_gate(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_sig,
+    target_dir: str,
+    checkpoint_dir: str,
+    cfg: DedupeConfig,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming near-duplicate ADMISSION GATE: every arriving corpus file is
+    probed (exact sha256 / simhash Hamming / minhash Jaccard, per
+    ``cfg.passes``) against the STATIC corpus signature index, and the hits
+    land append-only in ``target_dir``. Admission policy is the consumer's:
+    anti-join arrivals against the hit table to drop near-dupes at ingest,
+    or route them to audit.
+
+    Plan shape per micro-batch: the batch plays the PROBE side of
+    operators/query.query_probe — fingerprinted by the stateless Arrow UDF,
+    banded, then BROADCAST to the corpus band table, so the (huge) corpus
+    index is never shuffled per batch (the same plan test_plans.py asserts
+    for the batch operator). foreachBatch is at-least-once on retry; hit
+    rows are idempotent facts, so consumers needing exactly-once dedupe on
+    read (dropDuplicates on the natural key), mirroring the checkpoint
+    convention in plans/pipeline.py.
+    """
+    from imgdupes_spark.operators.query import query_probe
+
+    corpus_schema = ", ".join(f"{c} string" for c in CORPUS_COLUMNS)
+    stream = (
+        spark.readStream.schema(corpus_schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(source_dir)
+    )
+
+    def _probe_batch(batch, _epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        query_probe(corpus_sig, batch, cfg).write.mode("append").parquet(target_dir)
+
+    writer = stream.writeStream.foreachBatch(_probe_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_arrival_stats(
     spark: SparkSession,
     source_dir: str,

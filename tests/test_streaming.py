@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from imgdupes_spark.corpus import CorpusSpec, generate_corpus
 from imgdupes_spark.streaming.ingest import stream_signatures
 
@@ -67,6 +69,67 @@ def test_stream_exact_dedup_suppresses_cross_batch(spark, cfg, tmp_path):
     got2 = spark.read.parquet(dst)
     assert got2.count() == 3  # cross-batch dup suppressed, new doc emitted
     assert got2.select("sha256").distinct().count() == 3
+
+
+def test_stream_neardup_gate(spark, cfg, tmp_path, small_corpus):
+    """Arrivals are probed against the static corpus index: an exact copy and
+    a near-dup edit of corpus docs produce hit rows; a novel doc produces
+    none. Restarting against the same checkpoint drains only new files."""
+    import pandas as pd
+
+    from imgdupes_spark.functions.fingerprints import signatures
+    from imgdupes_spark.streaming.ingest import stream_neardup_gate
+
+    src = str(tmp_path / "in4")
+    hits_dir = str(tmp_path / "hits4")
+    ckpt = str(tmp_path / "ck4")
+
+    corpus_sig = signatures(small_corpus, cfg).localCheckpoint()
+    victim = small_corpus.orderBy("path").filter("content IS NOT NULL").first()
+
+    def rows(names_texts):
+        return pd.DataFrame(
+            [
+                {"repo": "new", "path": p, "commit": "c", "lang": "txt", "content": t}
+                for p, t in names_texts
+            ]
+        )
+
+    wave1 = rows(
+        [
+            ("exact_copy", victim.content),
+            ("near_copy", victim.content + " trailing tweak"),
+            ("novel", "completely unrelated fresh content nothing shared here"),
+        ]
+    )
+    spark.createDataFrame(wave1).write.mode("append").parquet(src)
+    stream_neardup_gate(spark, src, corpus_sig, hits_dir, ckpt, cfg).awaitTermination(
+        180
+    )
+    got1 = spark.read.parquet(hits_dir)
+    by_query = {
+        r.query_path: r.origins
+        for r in got1.groupBy("query_path")
+        .agg(F.collect_set("origin").alias("origins"))
+        .collect()
+    }
+    assert "exact" in by_query.get("exact_copy", []), by_query
+    assert by_query.get("near_copy"), by_query  # hit via simhash and/or minhash
+    assert "novel" not in by_query, by_query
+
+    # second wave against the same checkpoint: only the new file is probed
+    n1 = got1.count()
+    spark.createDataFrame(rows([("exact_copy2", victim.content)])).write.mode(
+        "append"
+    ).parquet(src)
+    stream_neardup_gate(spark, src, corpus_sig, hits_dir, ckpt, cfg).awaitTermination(
+        180
+    )
+    got2 = spark.read.parquet(hits_dir)
+    new_rows = got2.filter(F.col("query_path") == "exact_copy2")
+    assert new_rows.count() >= 1
+    # wave-1 hits were not re-emitted (exactly-once file intake)
+    assert got2.filter(F.col("query_path") != "exact_copy2").count() == n1
 
 
 def test_stream_arrival_stats_windows_and_watermark(spark, cfg, tmp_path):
