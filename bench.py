@@ -123,6 +123,8 @@ def main() -> None:
             "knn_bruteforce",
             "token_counts",
             "quality_profile",
+            "decontaminate",
+            "repetition_profile",
         ):
             timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
