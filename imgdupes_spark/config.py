@@ -50,6 +50,12 @@ class DedupeConfig:
     #     here the passes compose instead of excluding each other) ---
     passes: tuple = ("exact", "simhash", "minhash")
 
+    # --- image hash method (reference positional hash_method, imgdupes:111-112;
+    #     gen_hashfunc dispatch, common/hashcache.py:130-141). Applies to the
+    #     image modality (operators/images.py); text fingerprints are the
+    #     shingle_unit family above. ---
+    image_hash_method: str = "phash_org"  # phash_org | phash | ahash | dhash | whash
+
     # --- identity width ---
     # 64: doc_id = one xxhash64 long — collision-safe to ~10^9 docs (birthday
     # bound; the pipeline's default-on doc_id_collisions guard catches the
@@ -92,6 +98,9 @@ class DedupeConfig:
         assert self.grouping in ("cc", "star"), self.grouping
         assert self.doc_id_bits in (64, 128), self.doc_id_bits
         assert self.scan_sort in ("path", "none"), self.scan_sort
+        assert self.image_hash_method in (
+            "phash_org", "phash", "ahash", "dhash", "whash",
+        ), self.image_hash_method
 
     @property
     def simhash_band_bits(self) -> int:

@@ -170,15 +170,77 @@ def dct2(m: np.ndarray) -> np.ndarray:
     return d @ m @ d.T
 
 
+def _pack64(bits: np.ndarray) -> int:
+    """Row-major MSB-first bit packing into one signed int64 — the same word
+    layout as the text simhash, so every method below feeds the LSH banding
+    path unchanged."""
+    word = 0
+    for bit in bits.flatten():
+        word = (word << 1) | int(bit)
+    return word - (1 << 64) if word >= (1 << 63) else word
+
+
 def phash64(img: np.ndarray, hash_size: int = 8, highfreq_factor: int = 4) -> int:
     """64-bit perceptual hash of an HxWx3 image (reference phash_org,
     common/hashcache.py:113-127): low-frequency DCT block sans DC row/col,
-    median-thresholded. Bits packed row-major, MSB-first, signed int64."""
+    median-thresholded."""
     img_size = hash_size * highfreq_factor
     pixels = resize_area(grayscale(img), img_size)
     low = dct2(pixels)[1 : hash_size + 1, 1 : hash_size + 1]
-    bits = (low > np.median(low)).flatten()
-    word = 0
-    for bit in bits:
-        word = (word << 1) | int(bit)
-    return word - (1 << 64) if word >= (1 << 63) else word
+    return _pack64(low > np.median(low))
+
+
+def phash64_dc(img: np.ndarray, hash_size: int = 8, highfreq_factor: int = 4) -> int:
+    """imagehash.phash semantics (reference hash_method='phash',
+    common/hashcache.py:133-134): same DCT, but the low-frequency block is
+    dct[:8, :8] INCLUDING the DC row/column."""
+    img_size = hash_size * highfreq_factor
+    pixels = resize_area(grayscale(img), img_size)
+    low = dct2(pixels)[:hash_size, :hash_size]
+    return _pack64(low > np.median(low))
+
+
+def ahash64(img: np.ndarray, hash_size: int = 8) -> int:
+    """Average hash (reference hash_method='ahash', common/hashcache.py:
+    131-132; imagehash.average_hash): 8x8 downsample, bit = pixel > mean.
+    Invariant under global brightness shifts (the mean shifts equally)."""
+    small = resize_area(grayscale(img), hash_size)
+    return _pack64(small > small.mean())
+
+
+def dhash64(img: np.ndarray, hash_size: int = 8) -> int:
+    """Difference hash (reference hash_method='dhash', common/hashcache.py:
+    135-136; imagehash.dhash): resize to (hash_size+1) columns x hash_size
+    rows, bit = horizontal gradient sign (right pixel > left pixel)."""
+    gray = grayscale(img)
+    h, w = gray.shape
+    small = _area_weights(h, hash_size) @ gray @ _area_weights(w, hash_size + 1).T
+    return _pack64(small[:, 1:] > small[:, :-1])
+
+
+def whash64(img: np.ndarray, hash_size: int = 8, image_scale: int = 64) -> int:
+    """Haar wavelet hash (reference hash_method='whash', common/hashcache.py:
+    137-138; imagehash.whash, mode='haar'): resize to image_scale^2, Haar
+    DWT down to an (hash_size)^2 LL band, bit = coefficient > median.
+
+    The Haar LL band at level L is (up to one constant factor per level) the
+    2^L-block average of the image, and imagehash's remove_max_haar_ll step
+    subtracts the global mean — both the scaling and the constant shift are
+    invisible to a median threshold, so the kernel reduces to: block-average
+    the image_scale grid down to hash_size and threshold at the median."""
+    pixels = resize_area(grayscale(img), image_scale)
+    levels = int(np.log2(image_scale // hash_size))
+    ll = pixels
+    for _ in range(levels):
+        ll = (ll[0::2, 0::2] + ll[1::2, 0::2] + ll[0::2, 1::2] + ll[1::2, 1::2]) / 2.0
+    return _pack64(ll > np.median(ll))
+
+
+# hash-method dispatch (reference gen_hashfunc, common/hashcache.py:130-141)
+HASH_METHODS: dict[str, callable] = {
+    "phash_org": phash64,
+    "phash": phash64_dc,
+    "ahash": ahash64,
+    "dhash": dhash64,
+    "whash": whash64,
+}

@@ -39,7 +39,9 @@ def image_dedup(
 
     cfg = cfg or DedupeConfig()
     spark = assets.sparkSession
-    feats = extract_image_features(assets, fake=fake).persist()
+    feats = extract_image_features(
+        assets, fake=fake, hash_method=cfg.image_hash_method
+    ).persist()
     feats.count()  # eager: scanned by band generation and final expansion
     sig = feats.select(
         F.col("asset_id").alias("doc_id"), F.col("phash").alias("simhash")

@@ -59,25 +59,37 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     return width, height, 3, phash
 
 
-def _real_decode(payload: bytes) -> tuple[int, int, int, int]:
-    """Decode real image bytes and compute the reference's DCT pHash
-    (imaging.phash64). Decode is inherently per-item (opaque variable-length
-    binary); the hash itself is a vectorized numpy kernel per image."""
-    from imgdupes_spark.functions.imaging import decode_image, phash64
+def _real_decode(payload: bytes, hash_method: str = "phash_org") -> tuple[int, int, int, int]:
+    """Decode real image bytes and compute the selected perceptual hash
+    (imaging.HASH_METHODS — the reference's gen_hashfunc dispatch,
+    common/hashcache.py:130-141). Decode is inherently per-item (opaque
+    variable-length binary); the hash itself is a numpy kernel per image."""
+    from imgdupes_spark.functions.imaging import HASH_METHODS, decode_image
 
     img = decode_image(payload or b"")
     h, w, c = img.shape
-    return w, h, c, phash64(img)
+    return w, h, c, HASH_METHODS[hash_method](img)
 
 
-def extract_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
+def extract_image_features(
+    assets: DataFrame, fake: bool = False, hash_method: str = "phash_org"
+) -> DataFrame:
     """Decode + feature-extract images: one Arrow batch at a time through
     mapInPandas, binary payloads never leave the executor as Python scalars
     row-by-row on the driver. NULL payloads keep the fake path's sentinel
     behavior under fake=True and decode as a ValueError under fake=False —
-    filter them upstream (resize_plan exposes n_bytes for that)."""
+    filter them upstream (resize_plan exposes n_bytes for that).
 
-    decode = _fake_decode if fake else _real_decode
+    ``hash_method`` selects the perceptual hash family (phash_org default;
+    phash/ahash/dhash/whash per the reference CLI)."""
+    from imgdupes_spark.functions.imaging import HASH_METHODS
+
+    assert hash_method in HASH_METHODS, hash_method
+    if fake:
+        decode = _fake_decode
+    else:
+        def decode(payload: bytes) -> tuple[int, int, int, int]:
+            return _real_decode(payload, hash_method)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

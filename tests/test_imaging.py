@@ -77,6 +77,69 @@ def test_phash_golden_and_invariances():
     assert _ham(h1, phash64(mkimg(3))) > 20
 
 
+def test_hash_method_family_goldens_and_invariances():
+    """The reference's full hash_method dispatch (gen_hashfunc,
+    common/hashcache.py:130-141): phash (DC-inclusive), ahash, dhash, whash.
+    Goldens pin each kernel spec; every method is invariant to uniform
+    brightness (mean/median thresholds shift equally) and 2x nearest
+    upscaling (area downsample)."""
+    from imgdupes_spark.functions.imaging import (
+        HASH_METHODS,
+        ahash64,
+        dhash64,
+        phash64_dc,
+        whash64,
+    )
+
+    assert set(HASH_METHODS) == {"phash_org", "phash", "ahash", "dhash", "whash"}
+    img = mkimg(1)
+    goldens = {
+        phash64_dc: (-7487120686690231910, -8120215321027725710),
+        ahash64: (32019505479679, 2279403824349183),
+        dhash64: (-1704303152594945, -3390945399668737),
+        whash64: (30911401787391, 26504499036159),
+    }
+    bright = np.clip(img.astype(int) + 10, 0, 255).astype(np.uint8)
+    up = np.kron(img, np.ones((2, 2, 1))).astype(np.uint8)
+    for fn, (g1, g2) in goldens.items():
+        assert fn(img) == g1, fn.__name__
+        assert fn(mkimg(2)) == g2, fn.__name__
+        assert _ham(g1, fn(bright)) <= 2, fn.__name__
+        assert fn(up) == g1, fn.__name__
+
+
+def test_image_dedup_dispatches_hash_method(spark):
+    """cfg.image_hash_method drives the modality end-to-end: planted
+    brightness/noise variants of full-noise images (which the coarse hashes
+    separate by >25 bits across groups, <=2 within) cluster under dhash."""
+    from imgdupes_spark.config import DedupeConfig
+    from imgdupes_spark.operators.images import image_dedup
+    from imgdupes_spark.sources.multimodal import ASSET_SCHEMA
+
+    def mknoise(seed):
+        return np.random.default_rng(seed).integers(0, 256, (48, 64, 3)).astype(
+            np.uint8
+        )
+
+    rows, truth, aid = [], {}, 0
+    for g in range(4):
+        base = mknoise(g)
+        for v in [
+            encode_ppm(base),
+            encode_bmp(np.clip(base.astype(int) + 9, 0, 255).astype(np.uint8)),
+        ]:
+            rows.append((aid, "image", bytearray(v), ("image/x-test", len(v))))
+            truth[aid] = g
+            aid += 1
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA).repartition(4)
+    out = image_dedup(assets, DedupeConfig(hamming_d=4, image_hash_method="dhash"))
+    got = {r.asset_id: r.cluster_id for r in out.collect()}
+    for g in range(4):
+        labels = {got.get(a) for a, t in truth.items() if t == g}
+        assert len(labels) == 1 and None not in labels, f"group {g}: {labels}"
+    assert len(set(got.values())) == 4
+
+
 def test_image_dedup_clusters_planted_variants(spark):
     """The reference workflow end-to-end on real bytes: planted
     near-duplicate image groups (brightness/noise/upscale variants, mixed
