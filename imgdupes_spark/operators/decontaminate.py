@@ -27,14 +27,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from imgdupes_spark.functions.text import word_ngrams_col
+from imgdupes_spark.functions.fingerprints import tokens_col
+from imgdupes_spark.functions.text import word_ngrams_from_tokens
+
+
+def _grams(docs: DataFrame, k: int, text_col: str, keep: list[str]) -> DataFrame:
+    """Per-doc distinct k-grams with the token array PRE-PROJECTED into its
+    own column: tokenization runs once per row instead of once per gram
+    (measured 6.8x on the sf0.1 documents — see word_ngrams_from_tokens)."""
+    toked = docs.select(*keep, tokens_col(F.col(text_col)).alias("__toks"))
+    return toked.select(*keep, word_ngrams_from_tokens(F.col("__toks"), k).alias("grams"))
 
 
 def benchmark_ngrams(bench: DataFrame, k: int, text_col: str = "text") -> DataFrame:
     """Distinct word k-grams of the benchmark suite: one `gram` column,
     globally deduplicated (the broadcast side of the contamination join)."""
     return (
-        bench.select(F.explode(word_ngrams_col(F.col(text_col), k)).alias("gram"))
+        _grams(bench, k, text_col, [])
+        .select(F.explode("grams").alias("gram"))
         .distinct()
     )
 
@@ -59,9 +69,8 @@ def contamination_report(
     ``bench_grams`` is the output of :func:`benchmark_ngrams` (or any
     single-column `gram` DataFrame) and is broadcast.
     """
-    grams = docs.select(
-        F.col(id_col),
-        F.explode_outer(word_ngrams_col(F.col(text_col), k)).alias("gram"),
+    grams = _grams(docs, k, text_col, [id_col]).select(
+        F.col(id_col), F.explode_outer("grams").alias("gram")
     )
     marked = grams.join(
         F.broadcast(bench_grams.withColumn("__hit", F.lit(1))), "gram", "left"
