@@ -428,6 +428,49 @@ def _q_image_dedup(spark, sf_dir):
     return out.select("asset_id", "cluster_id", "cluster_size")
 
 
+def _q_audio_dedup(spark, sf_dir):
+    """Audio near-dup clustering on REAL RIFF/WAVE bytes (rows-only: the
+    energy-envelope hash is not SQL-expressible; spec pinned by goldens in
+    tests/test_audio.py). Deterministic synthesis mirrors image_dedup: the
+    first 45 doc_ids label 15 planted groups x 3 variants (identity /
+    0.6-gain / seeded noise) — every group must return as one 3-member
+    cluster."""
+    import numpy as np
+
+    from imgdupes_spark.functions.audio import encode_wav
+    from imgdupes_spark.operators.images import audio_dedup
+    from imgdupes_spark.sources.multimodal import ASSET_SCHEMA
+
+    def mkclip(seed: int, n: int = 13000) -> np.ndarray:
+        r = np.random.default_rng(seed)
+        env = np.repeat(r.uniform(0.1, 1.0, 65), n // 65 + 1)[:n]
+        return (r.standard_normal(n) * env * 8000).astype(np.int16)
+
+    ids = [
+        r.doc_id
+        for r in _docs(_prep(spark), sf_dir)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(45)
+        .collect()
+    ]
+    rows = []
+    for i, did in enumerate(sorted(ids)):
+        g, v = i % 15, i // 15
+        base = mkclip(g)
+        if v == 1:
+            base = (base * 0.6).astype(np.int16)
+        elif v == 2:
+            base = (
+                base + np.random.default_rng(g).integers(-60, 61, len(base))
+            ).astype(np.int16)
+        payload = encode_wav(base)
+        rows.append((int(did), "audio", bytearray(payload), ("audio/wav", len(payload))))
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA).repartition(8)
+    out = audio_dedup(assets, DedupeConfig(hamming_d=4))
+    return out.select("asset_id", "cluster_id", "cluster_size")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": _q_exact_dup_clusters,
@@ -455,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no oracle_sql entry):
         "doc_fingerprints": _q_doc_fingerprints,
         "image_dedup": _q_image_dedup,
+        "audio_dedup": _q_audio_dedup,
     }
 
 

@@ -1,0 +1,121 @@
+"""Pure-python/numpy audio decode + perceptual hash kernel.
+
+The audio analogue of functions/imaging.py: the reference engine
+(knjcode/imgdupes) fingerprints only images; a training-data pipeline also
+needs audio near-dup detection (re-encoded/re-gained copies of the same
+clip). Same design as the image path:
+
+  decode      RIFF/WAVE PCM (16-bit, mono or multi-channel) — fixed-layout
+              chunked format, parseable in ~25 lines. Other containers
+              dispatch through AUDIO_DECODERS: register a real decoder
+              (ffmpeg bindings) per magic at deployment; unregistered magics
+              raise NotImplementedError (honest, not silent).
+  audio_hash64 64-bit energy-envelope difference hash: mix to mono, split
+              into 65 equal frames, bit i = energy(frame i+1) > energy(frame
+              i). The time-domain analogue of the image dHash. Invariant to
+              uniform gain (energies scale together) and to sample-width
+              normalization; robust to small additive noise (frame energies
+              are averages). Same signed-int64 word layout as the text
+              simhash and image pHash, so the LSH banding -> Hamming verify
+              -> connected-components path runs unchanged.
+
+An encoder is included so tests can round-trip planted clips without
+external fixtures.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- decoding
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM -> (samples (n, channels) int16, sample_rate).
+
+    Walks the chunk list (fmt/data chunks are not guaranteed adjacent);
+    requires audio_format=1 (PCM) and 16-bit samples."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2")
+    n = len(samples) // channels
+    return samples[: n * channels].reshape(n, channels).copy(), rate
+
+
+# magic-prefix -> decoder returning ((n, ch) int16, rate). Register real
+# decoders (ffmpeg/libsndfile bindings) here at deployment for MP3/FLAC etc.
+AUDIO_DECODERS: dict[bytes, callable] = {
+    b"RIFF": decode_wav,
+}
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    for magic, fn in AUDIO_DECODERS.items():
+        if payload[: len(magic)] == magic:
+            return fn(payload)
+    raise NotImplementedError(
+        f"no audio decoder registered for magic {payload[:4]!r} — register "
+        "one in imgdupes_spark.functions.audio.AUDIO_DECODERS"
+    )
+
+
+# ---------------------------------------------------------------- encoding
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """(n,) or (n, channels) int16 -> RIFF/WAVE PCM bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    ch = samples.shape[1]
+    pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+# ------------------------------------------------------------------ kernel
+
+
+def audio_hash64(samples: np.ndarray, frames: int = 65) -> int:
+    """64-bit energy-envelope difference hash (see module docstring).
+
+    Clips shorter than ``frames`` samples are zero-padded; the all-silent
+    clip hashes to 0 (no energy gradient anywhere)."""
+    mono = samples.astype(np.float64)
+    if mono.ndim == 2:
+        mono = mono.mean(axis=1)
+    if len(mono) < frames:
+        mono = np.pad(mono, (0, frames - len(mono)))
+    bounds = np.arange(frames) * len(mono) // frames
+    widths = np.diff(np.append(bounds, len(mono)))
+    energy = np.add.reduceat(mono * mono, bounds) / widths
+    bits = energy[1:] > energy[:-1]
+    word = 0
+    for bit in bits:
+        word = (word << 1) | int(bit)
+    return word - (1 << 64) if word >= (1 << 63) else word

@@ -7,7 +7,8 @@ DCT pHash (reference phash_org, common/hashcache.py:113-127) in an Arrow
 mapInPandas, and because the word layout matches the text simhash, the SAME
 banded LSH self-join (salted hot buckets included), Hamming verify, and
 connected-components grouping run unchanged — one candidate-generation
-engine, three modalities (text shingles, embeddings, images).
+engine, four modalities (text shingles, embeddings, images, audio: see
+audio_dedup below and functions/audio.py).
 """
 
 from __future__ import annotations
@@ -16,6 +17,52 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from imgdupes_spark.config import DedupeConfig
+
+
+def perceptual_hash_dedup(
+    feats: DataFrame, cfg: DedupeConfig, hash_col: str, id_col: str = "asset_id"
+) -> DataFrame:
+    """Cluster assets whose 64-bit perceptual hash Hamming distance <=
+    cfg.hamming_d: the shared LSH banding (salted hot buckets included) ->
+    Hamming verify -> connected-components tail behind image_dedup and
+    audio_dedup.
+
+    feats  (id_col, hash_col, ...) with hash_col a signed int64 in the
+           simhash word layout; MUST be persisted+materialized by the caller
+           (scanned by band generation and the final expansion).
+
+    Returns (id_col, hash_col, cluster_id, cluster_size) for members of
+    multi-member clusters; cluster_id = min id (text-path conventions).
+    """
+    from imgdupes_spark.caching import persistent_rdd_ids, release_rdd_ids
+    from imgdupes_spark.operators.components import connected_components
+    from imgdupes_spark.operators.lsh import simhash_candidate_edges
+
+    spark = feats.sparkSession
+    sig = feats.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("simhash")
+    )
+    caches: list[DataFrame] = []
+    edges = simhash_candidate_edges(sig, cfg, caches)
+    pre_cc = persistent_rdd_ids(spark)
+    comps = connected_components(edges.select("src", "dst"))
+    cc_ids = persistent_rdd_ids(spark) - pre_cc
+    stats = (
+        comps.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .filter(F.col("cluster_size") > 1)
+    )
+    out = (
+        feats.select(F.col(id_col), hash_col)
+        .join(comps.withColumnRenamed("doc_id", id_col), [id_col])
+        .join(stats, ["cluster_id"])
+        .select(id_col, hash_col, "cluster_id", "cluster_size")
+        .localCheckpoint(eager=True)
+    )
+    release_rdd_ids(spark, cc_ids)
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 def image_dedup(
@@ -32,39 +79,28 @@ def image_dedup(
     bytes differing by metadata still hash equal perceptually — the
     reference also groups purely on the perceptual hash).
     """
-    from imgdupes_spark.caching import persistent_rdd_ids, release_rdd_ids
-    from imgdupes_spark.operators.components import connected_components
-    from imgdupes_spark.operators.lsh import simhash_candidate_edges
     from imgdupes_spark.sources.multimodal import extract_image_features
 
     cfg = cfg or DedupeConfig()
-    spark = assets.sparkSession
     feats = extract_image_features(
         assets, fake=fake, hash_method=cfg.image_hash_method
     ).persist()
     feats.count()  # eager: scanned by band generation and final expansion
-    sig = feats.select(
-        F.col("asset_id").alias("doc_id"), F.col("phash").alias("simhash")
-    )
-    caches: list[DataFrame] = []
-    edges = simhash_candidate_edges(sig, cfg, caches)
-    pre_cc = persistent_rdd_ids(spark)
-    comps = connected_components(edges.select("src", "dst"))
-    cc_ids = persistent_rdd_ids(spark) - pre_cc
-    stats = (
-        comps.groupBy("cluster_id")
-        .agg(F.count("*").alias("cluster_size"))
-        .filter(F.col("cluster_size") > 1)
-    )
-    out = (
-        feats.select(F.col("asset_id"), "phash")
-        .join(comps.withColumnRenamed("doc_id", "asset_id"), ["asset_id"])
-        .join(stats, ["cluster_id"])
-        .select("asset_id", "phash", "cluster_id", "cluster_size")
-        .localCheckpoint(eager=True)
-    )
-    release_rdd_ids(spark, cc_ids)
-    for c in caches:
-        c.unpersist()
+    out = perceptual_hash_dedup(feats, cfg, "phash")
+    feats.unpersist()
+    return out
+
+
+def audio_dedup(assets: DataFrame, cfg: DedupeConfig | None = None) -> DataFrame:
+    """Cluster audio assets (kind='audio') whose energy-envelope hash
+    (functions/audio.audio_hash64) is within cfg.hamming_d — re-gained and
+    lightly-noised copies of the same clip cluster; distinct clips do not.
+    Same machinery, third modality."""
+    from imgdupes_spark.sources.multimodal import extract_audio_features
+
+    cfg = cfg or DedupeConfig()
+    feats = extract_audio_features(assets).persist()
+    feats.count()
+    out = perceptual_hash_dedup(feats, cfg, "ahash")
     feats.unpersist()
     return out

@@ -103,6 +103,37 @@ def extract_image_features(
     return images.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "asset_id long, sample_rate int, n_samples long, channels int, ahash long"
+)
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """Decode + feature-extract audio clips (kind='audio'): RIFF/WAVE PCM via
+    functions/audio.py, 64-bit energy-envelope hash per clip. Same Arrow
+    mapInPandas shape as extract_image_features — payloads stay executor-side,
+    unregistered containers raise NotImplementedError."""
+    from imgdupes_spark.functions.audio import audio_hash64, decode_audio
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for m in pdf["media"]:
+                samples, rate = decode_audio(m or b"")
+                feats.append(
+                    (rate, samples.shape[0], samples.shape[1], audio_hash64(samples))
+                )
+            out = pd.DataFrame(
+                feats, columns=["sample_rate", "n_samples", "channels", "ahash"]
+            )
+            out.insert(0, "asset_id", pdf["asset_id"].to_numpy())
+            out["ahash"] = out["ahash"].astype("int64")
+            yield out
+
+    clips = assets.filter(F.col("kind") == "audio").select("asset_id", "media")
+    return clips.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 def resize_plan(assets: DataFrame, max_px: int = 512) -> DataFrame:
     """Plumbing for a resize stage: projects the work list (what would be
     resized and to what) without decoding — the planning half is pure SQL and

@@ -1,0 +1,101 @@
+"""Audio modality: WAV decode round-trips, energy-envelope hash goldens +
+invariances, and audio_dedup end-to-end through the shared LSH path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from imgdupes_spark.functions.audio import (
+    audio_hash64,
+    decode_audio,
+    decode_wav,
+    encode_wav,
+)
+
+
+def mkclip(seed: int, n: int = 13000) -> np.ndarray:
+    """Deterministic clip with strong envelope structure: noise carrier
+    amplitude-modulated by a random 65-step envelope."""
+    r = np.random.default_rng(seed)
+    env = np.repeat(r.uniform(0.1, 1.0, 65), n // 65 + 1)[:n]
+    return (r.standard_normal(n) * env * 8000).astype(np.int16)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a % 2**64) ^ (b % 2**64)).count("1")
+
+
+def test_wav_roundtrip_and_dispatch():
+    c = mkclip(1)
+    mono, rate = decode_wav(encode_wav(c, 16000))
+    assert rate == 16000 and np.array_equal(mono[:, 0], c)
+    stereo = np.stack([c, mkclip(2)], axis=1)
+    s, _ = decode_wav(encode_wav(stereo))
+    assert np.array_equal(s, stereo)
+    assert np.array_equal(decode_audio(encode_wav(c))[0][:, 0], c)
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04mp3 bytes")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVE")  # no fmt/data chunks
+
+
+def test_audio_hash_goldens_and_invariances():
+    h1 = audio_hash64(mkclip(1))
+    assert h1 == -5959749904676755001
+    assert audio_hash64(mkclip(2)) == -2766586044159337852
+    # uniform gain rescales every frame energy equally
+    assert _ham(h1, audio_hash64((mkclip(1) * 0.5).astype(np.int16))) == 0
+    # small additive noise barely moves frame energies
+    noisy = (
+        mkclip(1) + np.random.default_rng(9).integers(-80, 81, 13000)
+    ).astype(np.int16)
+    assert _ham(h1, audio_hash64(noisy)) <= 3
+    # distinct clips are far apart
+    assert min(
+        _ham(audio_hash64(mkclip(i)), audio_hash64(mkclip(j)))
+        for i in range(5)
+        for j in range(i + 1, 5)
+    ) > 16
+    # degenerate inputs: silence and shorter-than-frames clips hash cleanly
+    assert audio_hash64(np.zeros(100, dtype=np.int16)) == 0
+    assert audio_hash64(np.ones(10, dtype=np.int16)) == 0
+
+
+def test_audio_dedup_clusters_planted_variants(spark):
+    from imgdupes_spark.config import DedupeConfig
+    from imgdupes_spark.operators.images import audio_dedup
+    from imgdupes_spark.sources.multimodal import ASSET_SCHEMA
+
+    rows, truth, aid = [], {}, 0
+    for g in range(4):
+        base = mkclip(10 + g)
+        variants = [
+            base,
+            (base * 0.6).astype(np.int16),  # re-gained copy
+            (base + np.random.default_rng(g).integers(-60, 61, len(base))).astype(
+                np.int16
+            ),
+        ]
+        for v in variants:
+            payload = encode_wav(v)
+            rows.append((aid, "audio", bytearray(payload), ("audio/wav", len(payload))))
+            truth[aid] = g
+            aid += 1
+    # distinct singletons + a non-audio row that must be ignored
+    for s in range(6):
+        payload = encode_wav(mkclip(800 + s))
+        rows.append((aid, "audio", bytearray(payload), ("audio/wav", len(payload))))
+        truth[aid] = f"single{s}"
+        aid += 1
+    rows.append((aid, "image", bytearray(b"P6 not audio"), ("image/x-test", 12)))
+
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA).repartition(4)
+    out = audio_dedup(assets, DedupeConfig(hamming_d=4)).collect()
+    got = {r.asset_id: r.cluster_id for r in out}
+    for g in range(4):
+        labels = {got.get(a) for a, t in truth.items() if t == g}
+        assert len(labels) == 1 and None not in labels, f"group {g}: {labels}"
+    singles = {a for a, t in truth.items() if isinstance(t, str)}
+    assert singles.isdisjoint(got)
+    assert len(set(got.values())) == 4
