@@ -471,6 +471,53 @@ def _q_audio_dedup(spark, sf_dir):
     return out.select("asset_id", "cluster_id", "cluster_size")
 
 
+def _q_video_dedup(spark, sf_dir):
+    """Video near-dup clustering on REAL Y4M bytes (rows-only; frame-
+    fingerprint matching spec pinned by tests/test_video.py). The first 30
+    doc_ids label 10 planted groups x 3 variants (identity / +8 brightness /
+    seeded per-frame noise), 12 frames each — every group must return as one
+    3-member cluster."""
+    import numpy as np
+
+    from imgdupes_spark.functions.video import encode_y4m
+    from imgdupes_spark.operators.video import video_dedup
+    from imgdupes_spark.sources.multimodal import ASSET_SCHEMA
+
+    def mkluma(seed, h=48, w=64):
+        r = np.random.default_rng(seed)
+        y, x = np.mgrid[0:h, 0:w]
+        img = x * 255 / w * 0.5 + y * 255 / h * 0.3 + r.integers(0, 256, (h, w)) * 0.2
+        return img.astype(np.uint8)
+
+    ids = [
+        r.doc_id
+        for r in _docs(_prep(spark), sf_dir)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(30)
+        .collect()
+    ]
+    rows = []
+    for i, did in enumerate(sorted(ids)):
+        g, v = i % 10, i // 10
+        frames = [mkluma(g * 100 + j) for j in range(12)]
+        if v == 1:
+            frames = [np.clip(f.astype(int) + 8, 0, 255).astype(np.uint8) for f in frames]
+        elif v == 2:
+            rng = np.random.default_rng(g)
+            frames = [
+                np.clip(f.astype(int) + rng.integers(-3, 4, f.shape), 0, 255).astype(
+                    np.uint8
+                )
+                for f in frames
+            ]
+        payload = encode_y4m(frames, fps=4)
+        rows.append((int(did), "video", bytearray(payload), ("video/x-y4m", len(payload))))
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA).repartition(8)
+    out = video_dedup(assets, DedupeConfig(hamming_d=4), every_s=0.25, min_matched_frames=3)
+    return out.select("asset_id", "n_frames_sampled", "cluster_id", "cluster_size")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": _q_exact_dup_clusters,
@@ -499,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "image_dedup": _q_image_dedup,
         "audio_dedup": _q_audio_dedup,
+        "video_dedup": _q_video_dedup,
     }
 
 

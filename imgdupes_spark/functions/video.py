@@ -1,0 +1,123 @@
+"""Pure-python video decode (Y4M) + frame fingerprinting helpers.
+
+Completes the multimodal set (text/embeddings/images/audio/video): the
+video analogue of functions/imaging.py. YUV4MPEG2 is a real uncompressed
+interchange format (mjpegtools lineage) with a fixed layout — an ASCII
+stream header, then per-frame ``FRAME\\n`` markers followed by raw planar
+YUV — so it parses in ~30 lines with no codec. Other containers (MP4/WebM)
+need a real demuxer+codec: register one per magic in VIDEO_DECODERS at
+deployment; unregistered magics raise NotImplementedError (honest, not
+silent).
+
+Fingerprinting reuses the image DCT pHash on the LUMA plane directly: Y in
+Y'CbCr IS the BT.601 luma the image path computes from RGB, so per-frame
+hashes are directly comparable with image pHashes and ride the same LSH
+machinery (operators/video.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------- decoding
+
+
+def decode_y4m(payload: bytes) -> tuple[list[np.ndarray], float]:
+    """YUV4MPEG2 -> (list of (h, w) uint8 LUMA planes, fps).
+
+    Supports C420* (default) and C444 chroma tags; chroma planes are parsed
+    for their size but only luma is returned (fingerprints are luma-only)."""
+    end = payload.index(b"\n")
+    header = payload[:end].decode("ascii", "replace").split(" ")
+    if header[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    num, den = 25, 1
+    chroma = "420"
+    for tag in header[1:]:
+        if tag.startswith("W"):
+            w = int(tag[1:])
+        elif tag.startswith("H"):
+            h = int(tag[1:])
+        elif tag.startswith("F"):
+            num, den = (int(x) for x in tag[1:].split(":"))
+        elif tag.startswith("C"):
+            chroma = tag[1:]
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if chroma.startswith("420"):
+        chroma_bytes = 2 * ((w // 2) * (h // 2))
+    elif chroma.startswith("444"):
+        chroma_bytes = 2 * w * h
+    else:
+        raise ValueError(f"unsupported Y4M chroma C{chroma}")
+    frames: list[np.ndarray] = []
+    pos = end + 1
+    while pos < len(payload):
+        nl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M frame marker")
+        pos = nl + 1
+        luma = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=pos)
+        frames.append(luma.reshape(h, w).copy())
+        pos += w * h + chroma_bytes
+    return frames, num / den
+
+
+# magic-prefix -> decoder returning (luma frames, fps). Register real
+# demuxer+codec bindings here at deployment for MP4/WebM/MKV etc.
+VIDEO_DECODERS: dict[bytes, callable] = {
+    b"YUV4MPEG2": decode_y4m,
+}
+
+
+def decode_video(payload: bytes) -> tuple[list[np.ndarray], float]:
+    for magic, fn in VIDEO_DECODERS.items():
+        if payload[: len(magic)] == magic:
+            return fn(payload)
+    raise NotImplementedError(
+        f"no video decoder registered for magic {payload[:9]!r} — register "
+        "one in imgdupes_spark.functions.video.VIDEO_DECODERS"
+    )
+
+
+# ---------------------------------------------------------------- encoding
+
+
+def encode_y4m(lumas: list[np.ndarray], fps: int = 25) -> bytes:
+    """List of (h, w) uint8 luma planes -> Y4M C420 bytes (flat 128 chroma)."""
+    h, w = lumas[0].shape
+    chroma = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C420\n" % (w, h, fps)]
+    for luma in lumas:
+        out.append(b"FRAME\n")
+        out.append(np.ascontiguousarray(luma, dtype=np.uint8).tobytes())
+        out.append(chroma)
+        out.append(chroma)
+    return b"".join(out)
+
+
+# ------------------------------------------------------------------ kernels
+
+
+def frame_phash64(luma: np.ndarray) -> int:
+    """DCT pHash of one luma plane — the image phash_org spec minus the
+    RGB->luma step (Y IS the luma)."""
+    from imgdupes_spark.functions.imaging import _pack64, dct2, resize_area
+
+    pixels = resize_area(luma.astype(np.float64), 32)
+    low = dct2(pixels)[1:9, 1:9]
+    return _pack64(low > np.median(low))
+
+
+def sample_frames(
+    frames: list[np.ndarray], fps: float, every_s: float, min_std: float = 1.0
+) -> list[tuple[int, np.ndarray]]:
+    """Every ``every_s`` seconds of frames, skipping low-information frames
+    (pixel std < min_std: black/flat frames are boilerplate shared by
+    unrelated videos and would weld their clusters — the video analogue of
+    the text path's boilerplate-hot shingle guard)."""
+    step = max(1, int(round(fps * every_s)))
+    return [
+        (i, f) for i, f in enumerate(frames) if i % step == 0 and f.std() >= min_std
+    ]

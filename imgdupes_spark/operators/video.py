@@ -1,0 +1,100 @@
+"""Video near-duplicate dedup: frame-fingerprint matching over sampled
+frames, through the shared LSH machinery.
+
+Fifth ride on the one candidate-generation engine: sampled frames are
+pHashed (functions/video.frame_phash64 — the image phash_org spec on the
+luma plane), frame-level candidate edges come from the SAME banded simhash
+LSH self-join + Hamming verify as text/images/audio, and two videos link
+when >= ``min_matched_frames`` of their sampled frame pairs match — the
+classical frame-fingerprint video copy-detection shape, expressed as one
+aggregation over the frame edge list. Connected components then cluster
+videos transitively (a clip contained in two longer reels welds them — the
+same semantics the text containment pass feeds CC).
+
+Scale shape: per-frame rows are (20-bit frame idx | 44-bit video id) longs
++ an 8-byte hash — the frame explosion is bounded by sampling (1 frame/s ~
+3.6k rows per hour of video), the edge aggregation partial-aggregates
+map-side, and the CC runs over video-level nodes only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from imgdupes_spark.config import DedupeConfig
+
+_FRAME_BITS = 20  # frame doc_id = (asset_id << 20) | frame_idx
+
+
+def video_dedup(
+    assets: DataFrame,
+    cfg: DedupeConfig | None = None,
+    every_s: float = 1.0,
+    min_matched_frames: int = 3,
+) -> DataFrame:
+    """Cluster videos sharing >= min_matched_frames near-duplicate sampled
+    frames (frame pHash Hamming <= cfg.hamming_d).
+
+    assets  multimodal asset table (sources/multimodal.ASSET_SCHEMA); only
+            kind='video' rows participate. asset_id must be >= 0 and <
+            2^43 (packed with the frame index into one signed long).
+
+    Returns (asset_id, n_frames_sampled, cluster_id, cluster_size) for
+    members of multi-member clusters; cluster_id = min asset_id.
+    """
+    from imgdupes_spark.caching import persistent_rdd_ids, release_rdd_ids
+    from imgdupes_spark.operators.components import connected_components
+    from imgdupes_spark.operators.lsh import simhash_candidate_edges
+    from imgdupes_spark.sources.multimodal import extract_video_features
+
+    cfg = cfg or DedupeConfig()
+    spark = assets.sparkSession
+    feats = extract_video_features(assets, every_s=every_s).persist()
+    feats.count()  # eager: scanned by band generation and the final expansion
+
+    sig = feats.select(
+        (
+            F.shiftleft(F.col("asset_id"), _FRAME_BITS)
+            + F.col("frame_idx").cast("long")
+        ).alias("doc_id"),
+        F.col("phash").alias("simhash"),
+    )
+    caches: list[DataFrame] = []
+    frame_edges = simhash_candidate_edges(sig, cfg, caches)
+    # frame pair -> video pair; src < dst at the frame level implies
+    # vsrc <= vdst (the frame idx occupies the low bits), so the video pair
+    # is already canonical once self-pairs are dropped
+    video_edges = (
+        frame_edges.select(
+            F.shiftrightunsigned("src", _FRAME_BITS).alias("src"),
+            F.shiftrightunsigned("dst", _FRAME_BITS).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_matched"))
+        .filter(F.col("n_matched") >= min_matched_frames)
+        .select("src", "dst")
+    )
+    pre_cc = persistent_rdd_ids(spark)
+    comps = connected_components(video_edges)
+    cc_ids = persistent_rdd_ids(spark) - pre_cc
+    stats = (
+        comps.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .filter(F.col("cluster_size") > 1)
+    )
+    videos = feats.groupBy("asset_id").agg(
+        F.count("*").alias("n_frames_sampled")
+    )
+    out = (
+        videos.join(comps.withColumnRenamed("doc_id", "asset_id"), ["asset_id"])
+        .join(stats, ["cluster_id"])
+        .select("asset_id", "n_frames_sampled", "cluster_id", "cluster_size")
+        .localCheckpoint(eager=True)
+    )
+    release_rdd_ids(spark, cc_ids)
+    for c in caches:
+        c.unpersist()
+    feats.unpersist()
+    return out

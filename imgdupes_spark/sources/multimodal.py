@@ -149,8 +149,39 @@ def resize_plan(assets: DataFrame, max_px: int = 512) -> DataFrame:
 
 
 def frame_sample_plan(assets: DataFrame, every_s: float = 1.0) -> DataFrame:
-    """Video frame-sampling work list (decode stubbed the same way)."""
+    """Video frame-sampling work list (the plan-only projection; the execute
+    half is extract_video_features below)."""
     return (
         assets.filter(F.col("kind") == "video")
         .select("asset_id", F.lit(every_s).alias("sample_every_s"))
     )
+
+
+VIDEO_FEATURES_SCHEMA = "asset_id long, frame_idx int, phash long"
+
+
+def extract_video_features(assets: DataFrame, every_s: float = 1.0) -> DataFrame:
+    """Decode + frame-sample + fingerprint videos (kind='video'): Y4M via
+    functions/video.py, one output row per sampled frame with its luma
+    pHash. Low-information frames (flat/black) are skipped inside
+    sample_frames — they are boilerplate shared across unrelated videos.
+    Same Arrow mapInPandas contract as the image/audio extractors."""
+    from imgdupes_spark.functions.video import (
+        decode_video,
+        frame_phash64,
+        sample_frames,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, m in zip(pdf["asset_id"], pdf["media"]):
+                frames, fps = decode_video(m or b"")
+                for idx, luma in sample_frames(frames, fps, every_s):
+                    rows.append((int(aid), idx, frame_phash64(luma)))
+            out = pd.DataFrame(rows, columns=["asset_id", "frame_idx", "phash"])
+            out["phash"] = out["phash"].astype("int64")
+            yield out
+
+    clips = assets.filter(F.col("kind") == "video").select("asset_id", "media")
+    return clips.mapInPandas(run, VIDEO_FEATURES_SCHEMA)

@@ -1,0 +1,117 @@
+"""Video modality: Y4M decode round-trips, frame sampling + low-information
+guard, frame pHash goldens, and video_dedup end-to-end (frame-fingerprint
+matching through the shared LSH path)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from imgdupes_spark.functions.video import (
+    decode_video,
+    decode_y4m,
+    encode_y4m,
+    frame_phash64,
+    sample_frames,
+)
+
+
+def mkluma(seed: int, h: int = 48, w: int = 64) -> np.ndarray:
+    r = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    img = x * 255 / w * 0.5 + y * 255 / h * 0.3 + r.integers(0, 256, (h, w)) * 0.2
+    return img.astype(np.uint8)
+
+
+def mkvideo(seed: int, n_frames: int = 12) -> list[np.ndarray]:
+    return [mkluma(seed * 100 + i) for i in range(n_frames)]
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a % 2**64) ^ (b % 2**64)).count("1")
+
+
+def test_y4m_roundtrip_sampling_and_dispatch():
+    frames = mkvideo(1)
+    dec, fps = decode_y4m(encode_y4m(frames, fps=4))
+    assert fps == 4.0 and len(dec) == 12
+    assert all(np.array_equal(a, b) for a, b in zip(dec, frames))
+    # every 0.5s at 4 fps -> every 2nd frame
+    assert [i for i, _ in sample_frames(dec, fps, 0.5)] == [0, 2, 4, 6, 8, 10]
+    # flat (low-information) frames are skipped by the boilerplate guard
+    flat_first = [np.full((48, 64), 17, np.uint8)] + frames
+    assert 0 not in [i for i, _ in sample_frames(flat_first, 4, 0.25)]
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x00\x00 ftypmp42")
+
+
+def test_frame_phash_matches_image_spec():
+    """frame_phash64 on a luma plane == phash64 on the RGB image whose BT.601
+    luma is that plane (gray RGB: r=g=b=Y)."""
+    from imgdupes_spark.functions.imaging import phash64
+
+    luma = mkluma(3)
+    rgb = np.repeat(luma[:, :, None], 3, axis=2)
+    assert frame_phash64(luma) == phash64(rgb)
+    h1 = frame_phash64(luma)
+    bright = np.clip(luma.astype(int) + 10, 0, 255).astype(np.uint8)
+    assert _ham(h1, frame_phash64(bright)) == 0
+    assert _ham(h1, frame_phash64(mkluma(99))) > 20
+
+
+def test_video_dedup_clusters_planted_variants(spark):
+    from imgdupes_spark.config import DedupeConfig
+    from imgdupes_spark.operators.video import video_dedup
+    from imgdupes_spark.sources.multimodal import ASSET_SCHEMA
+
+    rows, truth, aid = [], {}, 0
+    for g in range(3):
+        base = mkvideo(10 + g)
+        variants = [
+            base,
+            [np.clip(f.astype(int) + 8, 0, 255).astype(np.uint8) for f in base],
+            [
+                np.clip(
+                    f.astype(int)
+                    + np.random.default_rng(g).integers(-3, 4, f.shape),
+                    0,
+                    255,
+                ).astype(np.uint8)
+                for f in base
+            ],
+        ]
+        for v in variants:
+            payload = encode_y4m(v, fps=4)
+            rows.append((aid, "video", bytearray(payload), ("video/x-y4m", len(payload))))
+            truth[aid] = g
+            aid += 1
+    # distinct singletons must stay out
+    for s in range(4):
+        payload = encode_y4m(mkvideo(700 + s), fps=4)
+        rows.append((aid, "video", bytearray(payload), ("video/x-y4m", len(payload))))
+        truth[aid] = f"single{s}"
+        aid += 1
+    # two unrelated videos sharing only BLACK frames must NOT link (guard)
+    for s in range(2):
+        frames = mkvideo(800 + s, n_frames=6) + [
+            np.zeros((48, 64), np.uint8) for _ in range(6)
+        ]
+        payload = encode_y4m(frames, fps=4)
+        rows.append((aid, "video", bytearray(payload), ("video/x-y4m", len(payload))))
+        truth[aid] = f"black{s}"
+        aid += 1
+    rows.append((aid, "audio", bytearray(b"RIFF not video"), ("audio/wav", 14)))
+
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA).repartition(4)
+    out = video_dedup(
+        assets, DedupeConfig(hamming_d=4), every_s=0.25, min_matched_frames=3
+    ).collect()
+    got = {r.asset_id: r.cluster_id for r in out}
+    for g in range(3):
+        labels = {got.get(a) for a, t in truth.items() if t == g}
+        assert len(labels) == 1 and None not in labels, f"group {g}: {labels}"
+    outsiders = {a for a, t in truth.items() if isinstance(t, str)}
+    assert outsiders.isdisjoint(got), sorted(set(got) & outsiders)
+    assert len(set(got.values())) == 3
+    sampled = {r.asset_id: r.n_frames_sampled for r in out}
+    assert all(n == 12 for n in sampled.values())  # every_s=0.25 at 4fps = all
