@@ -43,7 +43,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(payload):
         cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # a size field pointing past the payload is a truncated file;
+            # decoding the fragment would fingerprint silently-wrong content
+            raise ValueError(f"truncated WAV chunk {cid!r}: {len(body)} < {size}")
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"short fmt chunk ({size} bytes)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -53,7 +59,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     audio_format, channels, rate, _, _, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
-    samples = np.frombuffer(data, dtype="<i2")
+    samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
     n = len(samples) // channels
     return samples[: n * channels].reshape(n, channels).copy(), rate
 
@@ -111,11 +117,9 @@ def audio_hash64(samples: np.ndarray, frames: int = 65) -> int:
         mono = mono.mean(axis=1)
     if len(mono) < frames:
         mono = np.pad(mono, (0, frames - len(mono)))
+    from imgdupes_spark.functions.imaging import _pack64
+
     bounds = np.arange(frames) * len(mono) // frames
     widths = np.diff(np.append(bounds, len(mono)))
     energy = np.add.reduceat(mono * mono, bounds) / widths
-    bits = energy[1:] > energy[:-1]
-    word = 0
-    for bit in bits:
-        word = (word << 1) | int(bit)
-    return word - (1 << 64) if word >= (1 << 63) else word
+    return _pack64(energy[1:] > energy[:-1])

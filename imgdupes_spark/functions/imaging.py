@@ -180,24 +180,39 @@ def _pack64(bits: np.ndarray) -> int:
     return word - (1 << 64) if word >= (1 << 63) else word
 
 
+def phash64_gray(
+    gray: np.ndarray,
+    hash_size: int = 8,
+    highfreq_factor: int = 4,
+    include_dc: bool = False,
+) -> int:
+    """DCT pHash core over a 2-D gray/luma plane — the single copy of the
+    phash_org spec shared by the RGB wrappers below and the video frame
+    hash (functions/video.frame_phash64), so cross-modality hash
+    comparability cannot drift."""
+    img_size = hash_size * highfreq_factor
+    pixels = resize_area(gray, img_size)
+    dct = dct2(pixels)
+    low = (
+        dct[:hash_size, :hash_size]
+        if include_dc
+        else dct[1 : hash_size + 1, 1 : hash_size + 1]
+    )
+    return _pack64(low > np.median(low))
+
+
 def phash64(img: np.ndarray, hash_size: int = 8, highfreq_factor: int = 4) -> int:
     """64-bit perceptual hash of an HxWx3 image (reference phash_org,
     common/hashcache.py:113-127): low-frequency DCT block sans DC row/col,
     median-thresholded."""
-    img_size = hash_size * highfreq_factor
-    pixels = resize_area(grayscale(img), img_size)
-    low = dct2(pixels)[1 : hash_size + 1, 1 : hash_size + 1]
-    return _pack64(low > np.median(low))
+    return phash64_gray(grayscale(img), hash_size, highfreq_factor)
 
 
 def phash64_dc(img: np.ndarray, hash_size: int = 8, highfreq_factor: int = 4) -> int:
     """imagehash.phash semantics (reference hash_method='phash',
     common/hashcache.py:133-134): same DCT, but the low-frequency block is
     dct[:8, :8] INCLUDING the DC row/column."""
-    img_size = hash_size * highfreq_factor
-    pixels = resize_area(grayscale(img), img_size)
-    low = dct2(pixels)[:hash_size, :hash_size]
-    return _pack64(low > np.median(low))
+    return phash64_gray(grayscale(img), hash_size, highfreq_factor, include_dc=True)
 
 
 def ahash64(img: np.ndarray, hash_size: int = 8) -> int:

@@ -28,6 +28,12 @@ def token_count_col(content: Column) -> Column:
     return F.size(tokens_col(content)).cast("long")
 
 
+def _safe_ratio(num: Column, den: Column) -> Column:
+    """num/den with a zero-denominator guard, rounded to 6 — THE ratio
+    convention every profile column and its DuckDB oracle twin share."""
+    return F.round(num / F.greatest(den, F.lit(1)), 6)
+
+
 def quality_columns(content: Column) -> list[Column]:
     """Length / punctuation / stopword / line-shape quality features,
     each aliased; all pure string expressions (codegen)."""
@@ -38,14 +44,13 @@ def quality_columns(content: Column) -> list[Column]:
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
     n_lines = F.size(F.split(content, "\n"))
-    safe = lambda num, den: F.round(num / F.greatest(den, F.lit(1)), 6)  # noqa: E731
     return [
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
-        safe(n_alnum, n_chars).alias("alnum_ratio"),
-        safe(n_punct, n_chars).alias("punct_ratio"),
-        safe(n_stop, n_tokens).alias("stopword_ratio"),
-        safe(n_chars, n_lines).alias("mean_line_len"),
+        _safe_ratio(n_alnum, n_chars).alias("alnum_ratio"),
+        _safe_ratio(n_punct, n_chars).alias("punct_ratio"),
+        _safe_ratio(n_stop, n_tokens).alias("stopword_ratio"),
+        _safe_ratio(n_chars, n_lines).alias("mean_line_len"),
     ]
 
 
@@ -163,11 +168,10 @@ def repetition_columns(content: Column) -> list[Column]:
     chars_all = chars(lines)
     chars_dis = chars(F.array_distinct(lines))
     toks = tokens_col(content)
-    safe = lambda num, den: F.round(num / F.greatest(den, F.lit(1)), 6)  # noqa: E731
     return [
-        safe(n_lines - n_dis_lines, n_lines).alias("dup_line_frac"),
-        safe(chars_all - chars_dis, chars_all).alias("dup_line_char_frac"),
-        safe(F.size(F.array_distinct(toks)), F.size(toks)).alias(
+        _safe_ratio(n_lines - n_dis_lines, n_lines).alias("dup_line_frac"),
+        _safe_ratio(chars_all - chars_dis, chars_all).alias("dup_line_char_frac"),
+        _safe_ratio(F.size(F.array_distinct(toks)), F.size(toks)).alias(
             "distinct_token_ratio"
         ),
     ]
@@ -199,13 +203,12 @@ def repetition_profile(
         .groupBy(id_col)
         .agg(F.max("c").alias("__top"))
     )
-    safe = lambda num, den: F.round(num / F.greatest(den, F.lit(1)), 6)  # noqa: E731
     return base.join(top, id_col, "left").select(
         id_col,
         "dup_line_frac",
         "dup_line_char_frac",
         "distinct_token_ratio",
-        safe(F.coalesce("__top", F.lit(0)), F.col("__n_toks")).alias("top_token_frac"),
+        _safe_ratio(F.coalesce("__top", F.lit(0)), F.col("__n_toks")).alias("top_token_frac"),
     )
 
 

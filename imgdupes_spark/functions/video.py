@@ -45,9 +45,12 @@ def decode_y4m(payload: bytes) -> tuple[list[np.ndarray], float]:
             chroma = tag[1:]
     if not w or not h:
         raise ValueError("Y4M header missing W/H")
-    if chroma.startswith("420"):
+    # exact 8-bit variants only: a startswith('420') would also accept the
+    # 10/12/16-bit tags (C420p10 etc.) whose planes are 2 bytes/sample and
+    # silently misparse
+    if chroma in ("420", "420jpeg", "420mpeg2", "420paldv"):
         chroma_bytes = 2 * ((w // 2) * (h // 2))
-    elif chroma.startswith("444"):
+    elif chroma == "444":
         chroma_bytes = 2 * w * h
     else:
         raise ValueError(f"unsupported Y4M chroma C{chroma}")
@@ -102,12 +105,11 @@ def encode_y4m(lumas: list[np.ndarray], fps: int = 25) -> bytes:
 
 def frame_phash64(luma: np.ndarray) -> int:
     """DCT pHash of one luma plane — the image phash_org spec minus the
-    RGB->luma step (Y IS the luma)."""
-    from imgdupes_spark.functions.imaging import _pack64, dct2, resize_area
+    RGB->luma step (Y IS the luma); delegates to the shared gray-plane core
+    so image and frame hashes stay bit-comparable by construction."""
+    from imgdupes_spark.functions.imaging import phash64_gray
 
-    pixels = resize_area(luma.astype(np.float64), 32)
-    low = dct2(pixels)[1:9, 1:9]
-    return _pack64(low > np.median(low))
+    return phash64_gray(luma.astype(np.float64))
 
 
 def sample_frames(

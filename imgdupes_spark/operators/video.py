@@ -51,7 +51,24 @@ def video_dedup(
     cfg = cfg or DedupeConfig()
     spark = assets.sparkSession
     feats = extract_video_features(assets, every_s=every_s).persist()
-    feats.count()  # eager: scanned by band generation and the final expansion
+    # eager materialization (scanned by band generation and the final
+    # expansion) doubling as the packing-bounds check: violations must be
+    # LOUD — shiftleft would silently mangle out-of-range ids and the final
+    # join would drop every cluster
+    bounds = feats.agg(
+        F.count("*").alias("n"),
+        F.min("asset_id").alias("lo"),
+        F.max("asset_id").alias("hi"),
+        F.max("frame_idx").alias("fmax"),
+    ).collect()[0]
+    if bounds.n and not (
+        0 <= bounds.lo and bounds.hi < (1 << (63 - _FRAME_BITS)) and bounds.fmax < (1 << _FRAME_BITS)
+    ):
+        raise ValueError(
+            f"video_dedup id packing needs 0 <= asset_id < 2^{63 - _FRAME_BITS} "
+            f"and frame_idx < 2^{_FRAME_BITS}; got asset_id in "
+            f"[{bounds.lo}, {bounds.hi}], max frame_idx {bounds.fmax}"
+        )
 
     sig = feats.select(
         (
@@ -64,17 +81,27 @@ def video_dedup(
     frame_edges = simhash_candidate_edges(sig, cfg, caches)
     # frame pair -> video pair; src < dst at the frame level implies
     # vsrc <= vdst (the frame idx occupies the low bits), so the video pair
-    # is already canonical once self-pairs are dropped
+    # is already canonical once self-pairs are dropped. The threshold counts
+    # DISTINCT matched frames on each side, not pair rows: one shared moment
+    # (a branded intro card on both sides) makes n_src x n_dst pair rows but
+    # only min(n_src, n_dst) genuinely matched frames — counting rows would
+    # let a single shared card weld unrelated videos.
     video_edges = (
         frame_edges.select(
-            F.shiftrightunsigned("src", _FRAME_BITS).alias("src"),
-            F.shiftrightunsigned("dst", _FRAME_BITS).alias("dst"),
+            F.shiftrightunsigned("src", _FRAME_BITS).alias("vsrc"),
+            F.shiftrightunsigned("dst", _FRAME_BITS).alias("vdst"),
+            "src",
+            "dst",
         )
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("n_matched"))
+        .filter(F.col("vsrc") != F.col("vdst"))
+        .groupBy("vsrc", "vdst")
+        .agg(
+            F.least(
+                F.countDistinct("src"), F.countDistinct("dst")
+            ).alias("n_matched")
+        )
         .filter(F.col("n_matched") >= min_matched_frames)
-        .select("src", "dst")
+        .select(F.col("vsrc").alias("src"), F.col("vdst").alias("dst"))
     )
     pre_cc = persistent_rdd_ids(spark)
     comps = connected_components(video_edges)
