@@ -27,6 +27,68 @@ from imgdupes_spark.config import DedupeConfig
 _FRAME_BITS = 20  # frame doc_id = (asset_id << 20) | frame_idx
 
 
+def cross_modal_matches(
+    assets: DataFrame, cfg: DedupeConfig | None = None, every_s: float = 1.0
+) -> DataFrame:
+    """Images that appear as frames of videos (thumbnails, extracted stills,
+    cover art): image pHashes and sampled-frame pHashes are bit-comparable
+    BY CONSTRUCTION (both delegate to imaging.phash64_gray), so both
+    modalities union into ONE band index and the standard LSH self-join +
+    Hamming verify finds cross-modality pairs — no bespoke matcher.
+
+    Node ids pack the modality into the sign: images as -(asset_id+1) < 0,
+    frames as (asset_id << 20 | frame_idx) >= 0; a candidate pair crosses
+    the modality boundary exactly when the canonical (src < dst) pair has
+    src < 0 <= dst.
+
+    Returns (image_asset_id, video_asset_id, frame_idx, hamming), one row
+    per matched (image, frame) pair within cfg.hamming_d. The same id
+    bounds as video_dedup apply (asset_id in [0, 2^43), frame_idx < 2^20).
+    """
+    from imgdupes_spark.operators.lsh import simhash_candidate_edges
+    from imgdupes_spark.sources.multimodal import (
+        extract_image_features,
+        extract_video_features,
+    )
+
+    cfg = cfg or DedupeConfig()
+    assert cfg.image_hash_method == "phash_org", (
+        "cross-modal comparability holds for the phash_org spec only "
+        "(frame hashes are phash64_gray)"
+    )
+    img = extract_image_features(assets, hash_method=cfg.image_hash_method).select(
+        (-(F.col("asset_id") + 1)).alias("doc_id"),
+        F.col("phash").alias("simhash"),
+    )
+    vid = extract_video_features(assets, every_s=every_s).select(
+        (
+            F.shiftleft(F.col("asset_id"), _FRAME_BITS)
+            + F.col("frame_idx").cast("long")
+        ).alias("doc_id"),
+        F.col("phash").alias("simhash"),
+    )
+    sig = img.unionByName(vid).persist()
+    sig.count()  # eager: scanned by band generation
+    caches: list[DataFrame] = []
+    edges = simhash_candidate_edges(sig, cfg, caches)
+    out = (
+        edges.filter((F.col("src") < 0) & (F.col("dst") >= 0))
+        .select(
+            (-F.col("src") - 1).alias("image_asset_id"),
+            F.shiftrightunsigned("dst", _FRAME_BITS).alias("video_asset_id"),
+            (F.col("dst").bitwiseAND(F.lit((1 << _FRAME_BITS) - 1)))
+            .cast("int")
+            .alias("frame_idx"),
+            "hamming",
+        )
+        .localCheckpoint(eager=True)
+    )
+    for c in caches:
+        c.unpersist()
+    sig.unpersist()
+    return out
+
+
 def video_dedup(
     assets: DataFrame,
     cfg: DedupeConfig | None = None,

@@ -59,6 +59,37 @@ def test_frame_phash_matches_image_spec():
     assert _ham(h1, frame_phash64(mkluma(99))) > 20
 
 
+def test_cross_modal_matches_image_in_video(spark):
+    """An image that is (a brightness variant of) a frame of a video is
+    found with the right frame index; unrelated images are not."""
+    from imgdupes_spark.config import DedupeConfig
+    from imgdupes_spark.functions.imaging import encode_ppm
+    from imgdupes_spark.operators.video import cross_modal_matches
+    from imgdupes_spark.sources.multimodal import ASSET_SCHEMA
+
+    frames = mkvideo(5)
+    vid_payload = encode_y4m(frames, fps=4)
+    still = np.repeat(  # gray RGB whose BT.601 luma == frame 7's luma
+        np.clip(frames[7].astype(int) + 6, 0, 255).astype(np.uint8)[:, :, None],
+        3,
+        axis=2,
+    )
+    unrelated = np.repeat(mkluma(999)[:, :, None], 3, axis=2)
+    rows = [
+        (1, "video", bytearray(vid_payload), ("video/x-y4m", len(vid_payload))),
+        (20, "image", bytearray(encode_ppm(still)), ("image/x-test", 1)),
+        (21, "image", bytearray(encode_ppm(unrelated)), ("image/x-test", 1)),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = cross_modal_matches(
+        assets, DedupeConfig(hamming_d=4), every_s=0.25
+    ).collect()
+    assert any(
+        (r.image_asset_id, r.video_asset_id, r.frame_idx) == (20, 1, 7) for r in got
+    ), got
+    assert not any(r.image_asset_id == 21 for r in got), got
+
+
 def test_video_dedup_clusters_planted_variants(spark):
     from imgdupes_spark.config import DedupeConfig
     from imgdupes_spark.operators.video import video_dedup
