@@ -357,6 +357,27 @@ def _q_decontaminate(spark, sf_dir):
     )
 
 
+def _q_probe_exact(spark, sf_dir):
+    """query_probe in its exact-only configuration (passes=('exact',)): probe
+    docs (doc_id % 50 == 0, twins included) against the corpus by sha256
+    equality — the reference's --query path for identical content. The probe
+    side is broadcast; the corpus is never shuffled (plan-asserted for this
+    operator in test_plans.py). SQL-expressible because sha256 equality ==
+    text equality, so this pins the round-3 exact-pass semantics fix with a
+    value-level oracle."""
+    from imgdupes_spark.functions.fingerprints import signatures
+    from imgdupes_spark.operators.query import query_probe
+
+    d = _dup_docs(_prep(spark), sf_dir)
+    corpus = _corpus_shape(d)
+    sig = signatures(corpus, CFG)
+    probe = _corpus_shape(d.filter(F.col("doc_id") % 50 == 0))
+    cfg = DedupeConfig(passes=("exact",))
+    return query_probe(sig, probe, cfg).select(
+        "query_repo", "query_path", "repo", "path", "hamming", "origin"
+    )
+
+
 def _q_repetition_profile(spark, sf_dir):
     """Gopher-style repetition/boilerplate signals per doc: duplicate-line
     fraction (row count + chars), type/token ratio, top-token share — the
@@ -518,6 +539,51 @@ def _q_video_dedup(spark, sf_dir):
     return out.select("asset_id", "n_frames_sampled", "cluster_id", "cluster_size")
 
 
+def _q_cross_modal(spark, sf_dir):
+    """Cross-modal matching (rows-only): 5 Y4M videos + 5 PPM stills under
+    the first 10 doc_ids; stills 0-2 are brightness-shifted copies of frame
+    7 of videos 0-2, stills 3-4 are unrelated — exactly three (image, video,
+    frame 7) matches must surface from the single shared band index."""
+    import numpy as np
+
+    from imgdupes_spark.functions.imaging import encode_ppm
+    from imgdupes_spark.functions.video import encode_y4m
+    from imgdupes_spark.operators.video import cross_modal_matches
+    from imgdupes_spark.sources.multimodal import ASSET_SCHEMA
+
+    def mkluma(seed, h=48, w=64):
+        r = np.random.default_rng(seed)
+        y, x = np.mgrid[0:h, 0:w]
+        img = x * 255 / w * 0.5 + y * 255 / h * 0.3 + r.integers(0, 256, (h, w)) * 0.2
+        return img.astype(np.uint8)
+
+    ids = [
+        r.doc_id
+        for r in _docs(_prep(spark), sf_dir)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(10)
+        .collect()
+    ]
+    ids = sorted(ids)
+    rows = []
+    for g in range(5):
+        frames = [mkluma(g * 100 + j) for j in range(12)]
+        payload = encode_y4m(frames, fps=4)
+        rows.append((int(ids[g]), "video", bytearray(payload), ("video/x-y4m", len(payload))))
+    for g in range(5):
+        if g < 3:
+            luma = np.clip(mkluma(g * 100 + 7).astype(int) + 6, 0, 255).astype(np.uint8)
+        else:
+            luma = mkluma(5000 + g)
+        still = np.repeat(luma[:, :, None], 3, axis=2)
+        payload = encode_ppm(still)
+        rows.append((int(ids[5 + g]), "image", bytearray(payload), ("image/x-test", len(payload))))
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA).repartition(8)
+    out = cross_modal_matches(assets, DedupeConfig(hamming_d=4), every_s=0.25)
+    return out.select("image_asset_id", "video_asset_id", "frame_idx", "hamming")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": _q_exact_dup_clusters,
@@ -542,11 +608,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_merkle": _q_doc_merkle,
         "decontaminate": _q_decontaminate,
         "repetition_profile": _q_repetition_profile,
+        "probe_exact": _q_probe_exact,
         # rows-only (no oracle_sql entry):
         "doc_fingerprints": _q_doc_fingerprints,
         "image_dedup": _q_image_dedup,
         "audio_dedup": _q_audio_dedup,
         "video_dedup": _q_video_dedup,
+        "cross_modal": _q_cross_modal,
     }
 
 
@@ -788,6 +856,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN coalesce(h.n_hit, 0) >= 5 THEN 1 ELSE 0 END
                         AS BIGINT) AS contaminated
             FROM g LEFT JOIN hits h USING (doc_id)
+        """,
+        "probe_exact": f"""
+            WITH {_CORPUS_CTE}
+            SELECT p.source AS query_repo,
+                   'doc/' || CAST(p.doc_id AS VARCHAR) AS query_path,
+                   c.source AS repo,
+                   'doc/' || CAST(c.doc_id AS VARCHAR) AS path,
+                   CAST(0 AS INT) AS hamming,
+                   'exact' AS origin
+            FROM corpus p JOIN corpus c ON p.text = c.text
+            WHERE p.doc_id % 50 = 0
         """,
         "repetition_profile": f"""
             WITH t AS (
