@@ -27,6 +27,29 @@ from imgdupes_spark.config import DedupeConfig
 _FRAME_BITS = 20  # frame doc_id = (asset_id << 20) | frame_idx
 
 
+def _check_packing_bounds(feats: DataFrame, op: str) -> None:
+    """Eagerly materialize the (persisted) frame features and enforce the
+    id-packing preconditions: violations must be LOUD — shiftleft would
+    silently mangle out-of-range ids and the downstream joins would drop
+    every cluster."""
+    bounds = feats.agg(
+        F.count("*").alias("n"),
+        F.min("asset_id").alias("lo"),
+        F.max("asset_id").alias("hi"),
+        F.max("frame_idx").alias("fmax"),
+    ).collect()[0]
+    if bounds.n and not (
+        0 <= bounds.lo
+        and bounds.hi < (1 << (63 - _FRAME_BITS))
+        and bounds.fmax < (1 << _FRAME_BITS)
+    ):
+        raise ValueError(
+            f"{op} id packing needs 0 <= asset_id < 2^{63 - _FRAME_BITS} "
+            f"and frame_idx < 2^{_FRAME_BITS}; got asset_id in "
+            f"[{bounds.lo}, {bounds.hi}], max frame_idx {bounds.fmax}"
+        )
+
+
 def cross_modal_matches(
     assets: DataFrame, cfg: DedupeConfig | None = None, every_s: float = 1.0
 ) -> DataFrame:
@@ -56,11 +79,24 @@ def cross_modal_matches(
         "cross-modal comparability holds for the phash_org spec only "
         "(frame hashes are phash64_gray)"
     )
-    img = extract_image_features(assets, hash_method=cfg.image_hash_method).select(
+    img_feats = extract_image_features(
+        assets, hash_method=cfg.image_hash_method
+    ).persist()
+    ibounds = img_feats.agg(
+        F.count("*").alias("n"), F.min("asset_id").alias("lo")
+    ).collect()[0]
+    if ibounds.n and ibounds.lo < 0:
+        raise ValueError(
+            f"cross_modal_matches image packing needs asset_id >= 0; "
+            f"got min {ibounds.lo}"
+        )
+    vid_feats = extract_video_features(assets, every_s=every_s).persist()
+    _check_packing_bounds(vid_feats, "cross_modal_matches")
+    img = img_feats.select(
         (-(F.col("asset_id") + 1)).alias("doc_id"),
         F.col("phash").alias("simhash"),
     )
-    vid = extract_video_features(assets, every_s=every_s).select(
+    vid = vid_feats.select(
         (
             F.shiftleft(F.col("asset_id"), _FRAME_BITS)
             + F.col("frame_idx").cast("long")
@@ -86,6 +122,8 @@ def cross_modal_matches(
     for c in caches:
         c.unpersist()
     sig.unpersist()
+    img_feats.unpersist()
+    vid_feats.unpersist()
     return out
 
 
@@ -113,24 +151,7 @@ def video_dedup(
     cfg = cfg or DedupeConfig()
     spark = assets.sparkSession
     feats = extract_video_features(assets, every_s=every_s).persist()
-    # eager materialization (scanned by band generation and the final
-    # expansion) doubling as the packing-bounds check: violations must be
-    # LOUD — shiftleft would silently mangle out-of-range ids and the final
-    # join would drop every cluster
-    bounds = feats.agg(
-        F.count("*").alias("n"),
-        F.min("asset_id").alias("lo"),
-        F.max("asset_id").alias("hi"),
-        F.max("frame_idx").alias("fmax"),
-    ).collect()[0]
-    if bounds.n and not (
-        0 <= bounds.lo and bounds.hi < (1 << (63 - _FRAME_BITS)) and bounds.fmax < (1 << _FRAME_BITS)
-    ):
-        raise ValueError(
-            f"video_dedup id packing needs 0 <= asset_id < 2^{63 - _FRAME_BITS} "
-            f"and frame_idx < 2^{_FRAME_BITS}; got asset_id in "
-            f"[{bounds.lo}, {bounds.hi}], max frame_idx {bounds.fmax}"
-        )
+    _check_packing_bounds(feats, "video_dedup")
 
     sig = feats.select(
         (
