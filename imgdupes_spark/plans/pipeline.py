@@ -211,5 +211,48 @@ class DedupePipeline:
         doc_rep.unpersist()
         return members
 
+    def run_curation(
+        self,
+        corpus: DataFrame,
+        bench: DataFrame | None = None,
+        resume: bool = True,
+        ngram_k: int = 8,
+        min_hits: int = 5,
+    ) -> DataFrame:
+        """Checkpointed curation stage: ONE pass over the corpus computing the
+        per-doc quality surface (token count, quality ratios, language guess,
+        repetition signals) plus — when a benchmark suite DataFrame (`text`
+        column) is passed — the decontamination report against it. Same
+        resume/metrics contract as the dedup stages; reruns under an
+        unchanged config read the checkpoint.
+
+        Rows join internally on a 64-bit identity hash of (repo, path,
+        commit) — the same collision regime as doc_id, guarded there by
+        doc_id_collisions; the output carries the natural identity columns.
+        """
+        from imgdupes_spark.functions.text import repetition_profile, text_profile
+        from imgdupes_spark.operators.decontaminate import (
+            benchmark_ngrams,
+            contamination_report,
+        )
+
+        def compute() -> DataFrame:
+            keyed = corpus.withColumn(
+                "__cid", F.xxhash64("repo", "path", "commit")
+            )
+            prof = text_profile(keyed, content_col="content")
+            rep = repetition_profile(keyed, id_col="__cid", content_col="content")
+            out = prof.join(rep, "__cid")
+            if bench is not None:
+                grams = benchmark_ngrams(bench, ngram_k, text_col="text")
+                cont = contamination_report(
+                    keyed, grams, ngram_k, min_hits,
+                    id_col="__cid", text_col="content",
+                )
+                out = out.join(cont, "__cid")
+            return out.drop("__cid")
+
+        return self._stage("curation", compute, resume)
+
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.workdir, "metrics"))

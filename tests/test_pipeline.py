@@ -46,6 +46,35 @@ def _sig_parts(wd: str, fp: str) -> dict[str, int]:
     }
 
 
+def test_curation_stage_resumes_and_flags(spark, cfg, small_corpus, tmp_path):
+    """The checkpointed curation stage: full quality surface per doc, the
+    contamination report against a benchmark suite, and checkpoint resume."""
+    from pyspark.sql import functions as F
+
+    wd = str(tmp_path / "wdc")
+    victim = small_corpus.filter("content IS NOT NULL").orderBy("path").first()
+    bench = spark.createDataFrame([(victim.content,)], "text string")
+
+    p1 = DedupePipeline(spark, cfg, wd)
+    out1 = p1.run_curation(small_corpus, bench=bench)
+    assert not p1.results["curation"].resumed
+    cols = set(out1.columns)
+    assert {
+        "repo", "path", "token_count", "lang_guess", "dup_line_frac",
+        "distinct_token_ratio", "top_token_frac", "n_hit_grams", "contaminated",
+    } <= cols
+    assert out1.count() == small_corpus.count()
+    # the benchmark doc itself must be flagged (shares all its own grams)
+    flagged = out1.filter(F.col("contaminated")).select("path").collect()
+    assert victim.path in {r.path for r in flagged}
+
+    p2 = DedupePipeline(spark, cfg, wd)
+    out2 = p2.run_curation(small_corpus, bench=bench)
+    assert p2.results["curation"].resumed
+    key = ["repo", "path", "token_count", "n_hit_grams"]
+    assert out1.select(key).exceptAll(out2.select(key)).isEmpty()
+
+
 def test_incremental_signatures(spark, cfg, small_corpus, small_corpus_pd, tmp_path):
     corpus_pd, _ = small_corpus_pd
     wd = str(tmp_path / "wd2")
