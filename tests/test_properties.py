@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for the round-3 pure-python kernels:
+decoder round-trips over arbitrary shapes/payloads and exact hash
+invariances. No Spark session — these run in milliseconds and cover the
+stride/padding/degenerate-shape space the unit goldens can't enumerate."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from imgdupes_spark.functions.audio import audio_hash64, decode_wav, encode_wav
+from imgdupes_spark.functions.imaging import (
+    _pack64,
+    decode_bmp,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+)
+from imgdupes_spark.functions.video import decode_y4m, encode_y4m
+
+SMALL = settings(max_examples=60, deadline=None)
+
+
+@given(
+    arrays(np.uint8, st.tuples(st.integers(1, 24), st.integers(1, 24), st.just(3)))
+)
+@SMALL
+def test_image_roundtrip_any_shape(img):
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)  # incl. odd strides
+
+
+@given(
+    arrays(
+        np.int16,
+        st.tuples(st.integers(0, 400), st.integers(1, 3)),
+        elements=st.integers(-8000, 8000),
+    ),
+    st.integers(8000, 48000),
+)
+@SMALL
+def test_wav_roundtrip_any_shape(samples, rate):
+    dec, r = decode_wav(encode_wav(samples, rate))
+    assert r == rate
+    assert np.array_equal(dec, samples)
+
+
+@given(
+    arrays(np.int16, st.integers(0, 2000), elements=st.integers(-8000, 8000))
+)
+@SMALL
+def test_audio_hash_exact_gain_invariance(clip):
+    # x2 gain is exact in int16 for |x| <= 8000: energies scale by exactly
+    # 4, so every envelope comparison — and therefore every bit — is
+    # unchanged. (Lossy gains like *0.5 are near- but not bit-invariant.)
+    assert audio_hash64(clip) == audio_hash64((clip * 2).astype(np.int16))
+
+
+@given(
+    st.integers(1, 6),
+    st.integers(1, 20),
+    st.integers(1, 20),
+    st.integers(1, 60),
+    st.randoms(use_true_random=False),
+)
+@SMALL
+def test_y4m_roundtrip_any_shape(n_frames, h2, w2, fps, rnd):
+    h, w = h2 * 2, w2 * 2  # C420 needs even dims
+    rng = np.random.default_rng(rnd.randrange(2**32))
+    frames = [rng.integers(0, 256, (h, w)).astype(np.uint8) for _ in range(n_frames)]
+    dec, f = decode_y4m(encode_y4m(frames, fps=fps))
+    assert f == float(fps) and len(dec) == n_frames
+    assert all(np.array_equal(a, b) for a, b in zip(dec, frames))
+
+
+@given(arrays(np.bool_, 64))
+@SMALL
+def test_pack64_bit_exact(bits):
+    word = _pack64(bits)
+    # recover: the packed word read back MSB-first equals the input bits
+    u = word % (1 << 64)
+    back = [(u >> (63 - i)) & 1 == 1 for i in range(64)]
+    assert back == list(bits.flatten())
