@@ -32,6 +32,16 @@ def main() -> None:
     ap.add_argument("--jaccard-tau", type=float, default=0.70)
     ap.add_argument("--no-containment", action="store_true")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--curation",
+        action="store_true",
+        help="also run the checkpointed curation stage (quality surface)",
+    )
+    ap.add_argument(
+        "--benchmark",
+        help="parquet of benchmark texts (column `text`) for the "
+        "decontamination report inside --curation",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("imgdupes_spark_dedupe").getOrCreate()
@@ -51,6 +61,9 @@ def main() -> None:
     corpus = load_corpus(spark, path=args.input, table=args.table, fmt=args.format)
     pipe = DedupePipeline(spark, cfg, args.workdir)
     members = pipe.run(corpus, resume=not args.no_resume)
+    if args.curation:
+        bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+        pipe.run_curation(corpus, bench=bench, resume=not args.no_resume)
     n = members.count()
     print(f"clustered members: {n}; stages: "
           + ", ".join(f"{r.name}={r.rows} rows/{r.seconds:.1f}s"
