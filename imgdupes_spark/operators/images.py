@@ -43,26 +43,29 @@ def perceptual_hash_dedup(
         F.col(id_col).alias("doc_id"), F.col(hash_col).alias("simhash")
     )
     caches: list[DataFrame] = []
-    edges = simhash_candidate_edges(sig, cfg, caches)
-    pre_cc = persistent_rdd_ids(spark)
-    comps = connected_components(edges.select("src", "dst"))
-    cc_ids = persistent_rdd_ids(spark) - pre_cc
-    stats = (
-        comps.groupBy("cluster_id")
-        .agg(F.count("*").alias("cluster_size"))
-        .filter(F.col("cluster_size") > 1)
-    )
-    out = (
-        feats.select(F.col(id_col), hash_col)
-        .join(comps.withColumnRenamed("doc_id", id_col), [id_col])
-        .join(stats, ["cluster_id"])
-        .select(id_col, hash_col, "cluster_id", "cluster_size")
-        .localCheckpoint(eager=True)
-    )
-    release_rdd_ids(spark, cc_ids)
-    for c in caches:
-        c.unpersist()
-    return out
+    try:
+        edges = simhash_candidate_edges(sig, cfg, caches)
+        pre_cc = persistent_rdd_ids(spark)
+        comps = connected_components(edges.select("src", "dst"))
+        cc_ids = persistent_rdd_ids(spark) - pre_cc
+        stats = (
+            comps.groupBy("cluster_id")
+            .agg(F.count("*").alias("cluster_size"))
+            .filter(F.col("cluster_size") > 1)
+        )
+        out = (
+            feats.select(F.col(id_col), hash_col)
+            .join(comps.withColumnRenamed("doc_id", id_col), [id_col])
+            .join(stats, ["cluster_id"])
+            .select(id_col, hash_col, "cluster_id", "cluster_size")
+            .localCheckpoint(eager=True)
+        )
+        release_rdd_ids(spark, cc_ids)
+        return out
+    finally:
+        # released even when edge generation or CC raises mid-way
+        for c in caches:
+            c.unpersist()
 
 
 def image_dedup(
@@ -85,10 +88,11 @@ def image_dedup(
     feats = extract_image_features(
         assets, fake=fake, hash_method=cfg.image_hash_method
     ).persist()
-    feats.count()  # eager: scanned by band generation and final expansion
-    out = perceptual_hash_dedup(feats, cfg, "phash")
-    feats.unpersist()
-    return out
+    try:
+        feats.count()  # eager: scanned by band generation and final expansion
+        return perceptual_hash_dedup(feats, cfg, "phash")
+    finally:
+        feats.unpersist()
 
 
 def audio_dedup(assets: DataFrame, cfg: DedupeConfig | None = None) -> DataFrame:
@@ -100,7 +104,8 @@ def audio_dedup(assets: DataFrame, cfg: DedupeConfig | None = None) -> DataFrame
 
     cfg = cfg or DedupeConfig()
     feats = extract_audio_features(assets).persist()
-    feats.count()
-    out = perceptual_hash_dedup(feats, cfg, "ahash")
-    feats.unpersist()
-    return out
+    try:
+        feats.count()
+        return perceptual_hash_dedup(feats, cfg, "ahash")
+    finally:
+        feats.unpersist()

@@ -79,52 +79,56 @@ def cross_modal_matches(
         "cross-modal comparability holds for the phash_org spec only "
         "(frame hashes are phash64_gray)"
     )
-    img_feats = extract_image_features(
-        assets, hash_method=cfg.image_hash_method
-    ).persist()
-    ibounds = img_feats.agg(
-        F.count("*").alias("n"), F.min("asset_id").alias("lo")
-    ).collect()[0]
-    if ibounds.n and ibounds.lo < 0:
-        raise ValueError(
-            f"cross_modal_matches image packing needs asset_id >= 0; "
-            f"got min {ibounds.lo}"
-        )
-    vid_feats = extract_video_features(assets, every_s=every_s).persist()
-    _check_packing_bounds(vid_feats, "cross_modal_matches")
-    img = img_feats.select(
-        (-(F.col("asset_id") + 1)).alias("doc_id"),
-        F.col("phash").alias("simhash"),
-    )
-    vid = vid_feats.select(
-        (
-            F.shiftleft(F.col("asset_id"), _FRAME_BITS)
-            + F.col("frame_idx").cast("long")
-        ).alias("doc_id"),
-        F.col("phash").alias("simhash"),
-    )
-    sig = img.unionByName(vid).persist()
-    sig.count()  # eager: scanned by band generation
+    # every persist is released even when a bounds check or edge generation
+    # raises — a failed call must not pin executor storage for the session
+    pins: list[DataFrame] = []
     caches: list[DataFrame] = []
-    edges = simhash_candidate_edges(sig, cfg, caches)
-    out = (
-        edges.filter((F.col("src") < 0) & (F.col("dst") >= 0))
-        .select(
-            (-F.col("src") - 1).alias("image_asset_id"),
-            F.shiftrightunsigned("dst", _FRAME_BITS).alias("video_asset_id"),
-            (F.col("dst").bitwiseAND(F.lit((1 << _FRAME_BITS) - 1)))
-            .cast("int")
-            .alias("frame_idx"),
-            "hamming",
+    try:
+        img_feats = extract_image_features(
+            assets, hash_method=cfg.image_hash_method
+        ).persist()
+        pins.append(img_feats)
+        ibounds = img_feats.agg(
+            F.count("*").alias("n"), F.min("asset_id").alias("lo")
+        ).collect()[0]
+        if ibounds.n and ibounds.lo < 0:
+            raise ValueError(
+                f"cross_modal_matches image packing needs asset_id >= 0; "
+                f"got min {ibounds.lo}"
+            )
+        vid_feats = extract_video_features(assets, every_s=every_s).persist()
+        pins.append(vid_feats)
+        _check_packing_bounds(vid_feats, "cross_modal_matches")
+        img = img_feats.select(
+            (-(F.col("asset_id") + 1)).alias("doc_id"),
+            F.col("phash").alias("simhash"),
         )
-        .localCheckpoint(eager=True)
-    )
-    for c in caches:
-        c.unpersist()
-    sig.unpersist()
-    img_feats.unpersist()
-    vid_feats.unpersist()
-    return out
+        vid = vid_feats.select(
+            (
+                F.shiftleft(F.col("asset_id"), _FRAME_BITS)
+                + F.col("frame_idx").cast("long")
+            ).alias("doc_id"),
+            F.col("phash").alias("simhash"),
+        )
+        sig = img.unionByName(vid).persist()
+        pins.append(sig)
+        sig.count()  # eager: scanned by band generation
+        edges = simhash_candidate_edges(sig, cfg, caches)
+        return (
+            edges.filter((F.col("src") < 0) & (F.col("dst") >= 0))
+            .select(
+                (-F.col("src") - 1).alias("image_asset_id"),
+                F.shiftrightunsigned("dst", _FRAME_BITS).alias("video_asset_id"),
+                (F.col("dst").bitwiseAND(F.lit((1 << _FRAME_BITS) - 1)))
+                .cast("int")
+                .alias("frame_idx"),
+                "hamming",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for c in caches + pins:
+            c.unpersist()
 
 
 def video_dedup(
@@ -143,16 +147,31 @@ def video_dedup(
     Returns (asset_id, n_frames_sampled, cluster_id, cluster_size) for
     members of multi-member clusters; cluster_id = min asset_id.
     """
-    from imgdupes_spark.caching import persistent_rdd_ids, release_rdd_ids
-    from imgdupes_spark.operators.components import connected_components
-    from imgdupes_spark.operators.lsh import simhash_candidate_edges
     from imgdupes_spark.sources.multimodal import extract_video_features
 
     cfg = cfg or DedupeConfig()
     spark = assets.sparkSession
+    caches: list[DataFrame] = []
     feats = extract_video_features(assets, every_s=every_s).persist()
-    _check_packing_bounds(feats, "video_dedup")
+    try:
+        return _video_dedup_body(
+            spark, feats, cfg, min_matched_frames, caches
+        )
+    finally:
+        # released even when the bounds check or edge generation raises
+        for c in caches:
+            c.unpersist()
+        feats.unpersist()
 
+
+def _video_dedup_body(
+    spark, feats: DataFrame, cfg: DedupeConfig, min_matched_frames: int, caches: list
+) -> DataFrame:
+    from imgdupes_spark.caching import persistent_rdd_ids, release_rdd_ids
+    from imgdupes_spark.operators.components import connected_components
+    from imgdupes_spark.operators.lsh import simhash_candidate_edges
+
+    _check_packing_bounds(feats, "video_dedup")
     sig = feats.select(
         (
             F.shiftleft(F.col("asset_id"), _FRAME_BITS)
@@ -160,7 +179,6 @@ def video_dedup(
         ).alias("doc_id"),
         F.col("phash").alias("simhash"),
     )
-    caches: list[DataFrame] = []
     frame_edges = simhash_candidate_edges(sig, cfg, caches)
     # frame pair -> video pair; src < dst at the frame level implies
     # vsrc <= vdst (the frame idx occupies the low bits), so the video pair
@@ -204,7 +222,4 @@ def video_dedup(
         .localCheckpoint(eager=True)
     )
     release_rdd_ids(spark, cc_ids)
-    for c in caches:
-        c.unpersist()
-    feats.unpersist()
     return out

@@ -59,10 +59,17 @@ class DedupePipeline:
 
     def _path(self, stage: str) -> str:
         # signatures is keyed by config alone (it resumes incrementally);
-        # downstream stages are additionally keyed by a fingerprint of the
-        # signatures *data*, so a changed corpus invalidates them the same
-        # way a changed config does.
-        if stage == "signatures" or self.data_fp is None:
+        # downstream dedup stages are additionally keyed by a fingerprint of
+        # the signatures *data*, so a changed corpus invalidates them the
+        # same way a changed config does. Curation stage names already embed
+        # their own corpus/bench/knob fingerprints (run_curation), so their
+        # path must NOT also depend on whether run() populated data_fp —
+        # call order would otherwise change the checkpoint location.
+        if (
+            stage == "signatures"
+            or stage.startswith("curation")
+            or self.data_fp is None
+        ):
             return os.path.join(self.workdir, f"{stage}_{self.fp}")
         return os.path.join(self.workdir, f"{stage}_{self.fp}_{self.data_fp}")
 
@@ -219,40 +226,71 @@ class DedupePipeline:
         ngram_k: int = 8,
         min_hits: int = 5,
     ) -> DataFrame:
-        """Checkpointed curation stage: ONE pass over the corpus computing the
+        """Checkpointed curation stage: one cached corpus pass computing the
         per-doc quality surface (token count, quality ratios, language guess,
         repetition signals) plus — when a benchmark suite DataFrame (`text`
-        column) is passed — the decontamination report against it. Same
-        resume/metrics contract as the dedup stages; reruns under an
-        unchanged config read the checkpoint.
+        column) is passed — the decontamination report against it.
 
-        Rows join internally on a 64-bit identity hash of (repo, path,
-        commit) — the same collision regime as doc_id, guarded there by
-        doc_id_collisions; the output carries the natural identity columns.
+        The checkpoint key embeds this stage's OWN parameters (ngram_k,
+        min_hits) and content fingerprints of BOTH the corpus and the
+        benchmark suite, so a changed corpus, changed suite, or changed knob
+        invalidates the checkpoint even when run_curation is called
+        standalone (run()'s data_fp covers only the dedup stages, and a
+        config/bench change must never resurrect a stale or
+        schema-mismatched report).
+
+        Rows join internally on doc_id_col(cfg) — the 128-bit struct id
+        under doc_id_bits=128, so the join inherits the same collision
+        regime as the dedup stages instead of an unguarded 64-bit hash.
+        The output carries the natural identity columns.
         """
+        from imgdupes_spark.functions.fingerprints import doc_id_col
         from imgdupes_spark.functions.text import repetition_profile, text_profile
         from imgdupes_spark.operators.decontaminate import (
             benchmark_ngrams,
             contamination_report,
         )
 
-        def compute() -> DataFrame:
-            keyed = corpus.withColumn(
-                "__cid", F.xxhash64("repo", "path", "commit")
-            )
-            prof = text_profile(keyed, content_col="content")
-            rep = repetition_profile(keyed, id_col="__cid", content_col="content")
-            out = prof.join(rep, "__cid")
-            if bench is not None:
-                grams = benchmark_ngrams(bench, ngram_k, text_col="text")
-                cont = contamination_report(
-                    keyed, grams, ngram_k, min_hits,
-                    id_col="__cid", text_col="content",
-                )
-                out = out.join(cont, "__cid")
-            return out.drop("__cid")
+        keyed = corpus.withColumn("__cid", doc_id_col(self.cfg)).persist()
+        try:
+            # content fingerprint of the corpus (materializes the cache, so
+            # the profile passes below read memory, not the source again)
+            row = keyed.agg(
+                F.count("*").alias("n"),
+                F.coalesce(
+                    F.bit_xor(F.xxhash64("repo", "path", "commit", "content")),
+                    F.lit(0),
+                ).alias("h"),
+            ).collect()[0]
+            corpus_fp = f"{row.n}x{row.h & 0xFFFFFFFF:08x}"
+            if bench is None:
+                bench_fp = "nobench"
+            else:
+                brow = bench.agg(
+                    F.count("*").alias("n"),
+                    F.coalesce(F.bit_xor(F.xxhash64("text")), F.lit(0)).alias("h"),
+                ).collect()[0]
+                bench_fp = f"{brow.n}x{brow.h & 0xFFFFFFFF:08x}"
+            stage = f"curation-k{ngram_k}m{min_hits}-{corpus_fp}-{bench_fp}"
 
-        return self._stage("curation", compute, resume)
+            def compute() -> DataFrame:
+                prof = text_profile(keyed, content_col="content")
+                rep = repetition_profile(
+                    keyed, id_col="__cid", content_col="content"
+                )
+                out = prof.join(rep, "__cid")
+                if bench is not None:
+                    grams = benchmark_ngrams(bench, ngram_k, text_col="text")
+                    cont = contamination_report(
+                        keyed, grams, ngram_k, min_hits,
+                        id_col="__cid", text_col="content",
+                    )
+                    out = out.join(cont, "__cid")
+                return out.drop("__cid")
+
+            return self._stage(stage, compute, resume)
+        finally:
+            keyed.unpersist()
 
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.workdir, "metrics"))

@@ -61,7 +61,7 @@ def main() -> None:
     corpus = load_corpus(spark, path=args.input, table=args.table, fmt=args.format)
     pipe = DedupePipeline(spark, cfg, args.workdir)
     members = pipe.run(corpus, resume=not args.no_resume)
-    if args.curation:
+    if args.curation or args.benchmark:  # --benchmark implies the stage
         bench = spark.read.parquet(args.benchmark) if args.benchmark else None
         pipe.run_curation(corpus, bench=bench, resume=not args.no_resume)
     n = members.count()

@@ -55,9 +55,12 @@ def test_curation_stage_resumes_and_flags(spark, cfg, small_corpus, tmp_path):
     victim = small_corpus.filter("content IS NOT NULL").orderBy("path").first()
     bench = spark.createDataFrame([(victim.content,)], "text string")
 
+    def stage_of(p):
+        return next(r for k, r in p.results.items() if k.startswith("curation"))
+
     p1 = DedupePipeline(spark, cfg, wd)
     out1 = p1.run_curation(small_corpus, bench=bench)
-    assert not p1.results["curation"].resumed
+    assert not stage_of(p1).resumed
     cols = set(out1.columns)
     assert {
         "repo", "path", "token_count", "lang_guess", "dup_line_frac",
@@ -70,9 +73,24 @@ def test_curation_stage_resumes_and_flags(spark, cfg, small_corpus, tmp_path):
 
     p2 = DedupePipeline(spark, cfg, wd)
     out2 = p2.run_curation(small_corpus, bench=bench)
-    assert p2.results["curation"].resumed
+    assert stage_of(p2).resumed
     key = ["repo", "path", "token_count", "n_hit_grams"]
     assert out1.select(key).exceptAll(out2.select(key)).isEmpty()
+
+    # a CHANGED benchmark suite must invalidate the checkpoint (stale
+    # contamination reports must never resurrect), and a benchless run must
+    # not inherit the benched schema
+    other = spark.createDataFrame([("totally different suite text",)], "text string")
+    p3 = DedupePipeline(spark, cfg, wd)
+    out3 = p3.run_curation(small_corpus, bench=other)
+    assert not stage_of(p3).resumed
+    assert victim.path not in {
+        r.path for r in out3.filter(F.col("contaminated")).select("path").collect()
+    }
+    p4 = DedupePipeline(spark, cfg, wd)
+    out4 = p4.run_curation(small_corpus)
+    assert not stage_of(p4).resumed
+    assert "contaminated" not in out4.columns
 
 
 def test_incremental_signatures(spark, cfg, small_corpus, small_corpus_pd, tmp_path):
