@@ -140,6 +140,64 @@ def stream_neardup_gate(
     return writer.start()
 
 
+def stream_quality_gate(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    min_tokens: int = 5,
+    max_dup_line_frac: float = 0.9,
+    min_distinct_token_ratio: float = 0.1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming quality gate: score every arriving doc with the per-row
+    curation signals (token count, repetition fractions, type/token ratio)
+    and stamp a ``reject_reason`` — NULL for accepted docs, else the first
+    failing rule ('too_short' | 'dup_lines' | 'repetitive'). One appended
+    table; consumers filter ``reject_reason IS NULL`` for the training feed
+    and the rest for the audit queue.
+
+    All signals are pure codegen column expressions (functions/text.py), so
+    the stream stays STATELESS — exactly-once per input file via the
+    streaming checkpoint, no watermark or state store needed. (top_token_frac
+    needs a per-doc frequency mode — an aggregation — so the batch
+    repetition_profile covers it; the gate uses only row-scope signals.)
+    """
+    from imgdupes_spark.functions.text import repetition_columns, token_count_col
+
+    corpus_schema = ", ".join(f"{c} string" for c in CORPUS_COLUMNS)
+    stream = (
+        spark.readStream.schema(corpus_schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(source_dir)
+    )
+    from pyspark.sql import functions as F
+
+    c = F.col("content")
+    scored = stream.select(
+        "*",
+        token_count_col(c).alias("token_count"),
+        *repetition_columns(c),
+    )
+    gated = scored.withColumn(
+        "reject_reason",
+        F.when(F.col("token_count") < min_tokens, "too_short")
+        .when(F.col("dup_line_frac") > max_dup_line_frac, "dup_lines")
+        .when(
+            F.col("distinct_token_ratio") < min_distinct_token_ratio, "repetitive"
+        ),
+    )
+    writer = (
+        gated.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_arrival_stats(
     spark: SparkSession,
     source_dir: str,

@@ -132,6 +132,51 @@ def test_stream_neardup_gate(spark, cfg, tmp_path, small_corpus):
     assert got2.filter(F.col("query_path") != "exact_copy2").count() == n1
 
 
+def test_stream_quality_gate_reasons(spark, cfg, tmp_path):
+    """Planted bad docs get the right reject_reason; clean docs pass with
+    NULL; exactly-once intake across a restart."""
+    import pandas as pd
+
+    from imgdupes_spark.streaming.ingest import stream_quality_gate
+
+    src = str(tmp_path / "in5")
+    dst = str(tmp_path / "out5")
+    ckpt = str(tmp_path / "ck5")
+
+    def rows(items):
+        return pd.DataFrame(
+            [
+                {"repo": "r", "path": p, "commit": "c", "lang": "txt", "content": t}
+                for p, t in items
+            ]
+        )
+
+    wave = rows(
+        [
+            ("good", "a reasonably varied document with plenty distinct words here"),
+            ("short", "tiny doc"),
+            ("dup_lines", "same line\n" * 40 + "same line"),
+            ("spam", " ".join(["buy"] * 60)),
+        ]
+    )
+    spark.createDataFrame(wave).write.mode("append").parquet(src)
+    stream_quality_gate(spark, src, dst, ckpt).awaitTermination(120)
+    got = {r.path: r.reject_reason for r in spark.read.parquet(dst).collect()}
+    assert got == {
+        "good": None,
+        "short": "too_short",
+        "dup_lines": "dup_lines",
+        "spam": "repetitive",
+    }, got
+
+    # restart drains only new files
+    spark.createDataFrame(rows([("good2", "another clean document with many different tokens inside")])).write.mode("append").parquet(src)
+    stream_quality_gate(spark, src, dst, ckpt).awaitTermination(120)
+    got2 = spark.read.parquet(dst)
+    assert got2.count() == 5
+    assert got2.filter("reject_reason IS NULL").count() == 2
+
+
 def test_stream_arrival_stats_windows_and_watermark(spark, cfg, tmp_path):
     """Watermarked windowed aggregation: counts per (10-min window, lang)."""
     import datetime as dt
