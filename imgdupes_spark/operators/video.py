@@ -11,10 +11,21 @@ aggregation over the frame edge list. Connected components then cluster
 videos transitively (a clip contained in two longer reels welds them — the
 same semantics the text containment pass feeds CC).
 
-Scale shape: per-frame rows are (20-bit frame idx | 44-bit video id) longs
-+ an 8-byte hash — the frame explosion is bounded by sampling (1 frame/s ~
-3.6k rows per hour of video), the edge aggregation partial-aggregates
-map-side, and the CC runs over video-level nodes only.
+Identity contract: frame node ids are ``xxhash64('vframe', asset_id,
+frame_idx)`` — full-range signed longs, the SAME convention as text doc_ids
+(functions/fingerprints.py), so asset_ids may be any signed 64-bit value
+(hash-derived, negative, whatever) with no packing precondition. A
+birthday-bound collision among node ids (~n^2/2^65 — negligible below
+~10^8 sampled frames per job) is detected loudly by a one-aggregate guard,
+mirroring fingerprints.doc_id_collisions. (asset_id, frame_idx) identity
+is recovered AFTER the LSH pass by joining the surviving edges back to the
+narrow frame-feature projection — the standard survivors-only re-join the
+minhash path uses, so the wide shuffle stays on 16-byte rows.
+
+Scale shape: per-frame rows are an 8-byte node id + an 8-byte hash — the
+frame explosion is bounded by sampling (1 frame/s ~ 3.6k rows per hour of
+video), the edge aggregation partial-aggregates map-side, and the CC runs
+over video-level nodes only.
 """
 
 from __future__ import annotations
@@ -24,29 +35,33 @@ from pyspark.sql import functions as F
 
 from imgdupes_spark.config import DedupeConfig
 
-_FRAME_BITS = 20  # frame doc_id = (asset_id << 20) | frame_idx
+# node-id derivation salts: keyspaces of the two modalities are disjoint by
+# construction (different first hash argument), so an image node can never
+# alias a frame node
+_FRAME_SALT = "vframe"
+_IMAGE_SALT = "img"
 
 
-def _check_packing_bounds(feats: DataFrame, op: str) -> None:
-    """Eagerly materialize the (persisted) frame features and enforce the
-    id-packing preconditions: violations must be LOUD — shiftleft would
-    silently mangle out-of-range ids and the downstream joins would drop
-    every cluster."""
-    bounds = feats.agg(
-        F.count("*").alias("n"),
-        F.min("asset_id").alias("lo"),
-        F.max("asset_id").alias("hi"),
-        F.max("frame_idx").alias("fmax"),
+def _frame_node_id() -> F.Column:
+    return F.xxhash64(F.lit(_FRAME_SALT), F.col("asset_id"), F.col("frame_idx"))
+
+
+def _image_node_id() -> F.Column:
+    return F.xxhash64(F.lit(_IMAGE_SALT), F.col("asset_id"))
+
+
+def _check_node_collisions(nodes: DataFrame, op: str) -> None:
+    """64-bit birthday guard over derived node ids (one aggregate, same
+    contract as fingerprints.doc_id_collisions): a silent collision would
+    merge two unrelated frames'/images' identities, so it must be LOUD."""
+    row = nodes.agg(
+        F.count("*").alias("n"), F.countDistinct("node_id").alias("d")
     ).collect()[0]
-    if bounds.n and not (
-        0 <= bounds.lo
-        and bounds.hi < (1 << (63 - _FRAME_BITS))
-        and bounds.fmax < (1 << _FRAME_BITS)
-    ):
+    if row.n != row.d:
         raise ValueError(
-            f"{op} id packing needs 0 <= asset_id < 2^{63 - _FRAME_BITS} "
-            f"and frame_idx < 2^{_FRAME_BITS}; got asset_id in "
-            f"[{bounds.lo}, {bounds.hi}], max frame_idx {bounds.fmax}"
+            f"{op}: {row.n - row.d} node-id collision(s) among {row.n} nodes "
+            "— xxhash64 birthday bound exceeded; widen node ids (the 128-bit "
+            "doc_id device, config.doc_id_bits) for this corpus size"
         )
 
 
@@ -59,14 +74,13 @@ def cross_modal_matches(
     modalities union into ONE band index and the standard LSH self-join +
     Hamming verify finds cross-modality pairs — no bespoke matcher.
 
-    Node ids pack the modality into the sign: images as -(asset_id+1) < 0,
-    frames as (asset_id << 20 | frame_idx) >= 0; a candidate pair crosses
-    the modality boundary exactly when the canonical (src < dst) pair has
-    src < 0 <= dst.
+    Node ids are salt-disjoint hashes (xxhash64('img', asset_id) vs
+    xxhash64('vframe', asset_id, frame_idx)); a candidate pair crosses the
+    modality boundary exactly when its endpoints resolve to different kinds
+    in the node map. Any signed-64 asset_id is valid.
 
     Returns (image_asset_id, video_asset_id, frame_idx, hamming), one row
-    per matched (image, frame) pair within cfg.hamming_d. The same id
-    bounds as video_dedup apply (asset_id in [0, 2^43), frame_idx < 2^20).
+    per matched (image, frame) pair within cfg.hamming_d.
     """
     from imgdupes_spark.operators.lsh import simhash_candidate_edges
     from imgdupes_spark.sources.multimodal import (
@@ -79,8 +93,8 @@ def cross_modal_matches(
         "cross-modal comparability holds for the phash_org spec only "
         "(frame hashes are phash64_gray)"
     )
-    # every persist is released even when a bounds check or edge generation
-    # raises — a failed call must not pin executor storage for the session
+    # every persist is released even when the collision guard or edge
+    # generation raises — a failed call must not pin executor storage
     pins: list[DataFrame] = []
     caches: list[DataFrame] = []
     try:
@@ -88,39 +102,67 @@ def cross_modal_matches(
             assets, hash_method=cfg.image_hash_method
         ).persist()
         pins.append(img_feats)
-        ibounds = img_feats.agg(
-            F.count("*").alias("n"), F.min("asset_id").alias("lo")
-        ).collect()[0]
-        if ibounds.n and ibounds.lo < 0:
-            raise ValueError(
-                f"cross_modal_matches image packing needs asset_id >= 0; "
-                f"got min {ibounds.lo}"
-            )
         vid_feats = extract_video_features(assets, every_s=every_s).persist()
         pins.append(vid_feats)
-        _check_packing_bounds(vid_feats, "cross_modal_matches")
-        img = img_feats.select(
-            (-(F.col("asset_id") + 1)).alias("doc_id"),
-            F.col("phash").alias("simhash"),
+        # node map: (node_id, kind, asset_id, frame_idx) — a narrow (~25-byte)
+        # projection of the cached features; collision-guarded across BOTH
+        # modalities at once since they share one band index
+        nodes = img_feats.select(
+            _image_node_id().alias("node_id"),
+            F.lit("img").alias("kind"),
+            "asset_id",
+            F.lit(None).cast("int").alias("frame_idx"),
+        ).unionByName(
+            vid_feats.select(
+                _frame_node_id().alias("node_id"),
+                F.lit("vid").alias("kind"),
+                "asset_id",
+                "frame_idx",
+            )
         )
-        vid = vid_feats.select(
-            (
-                F.shiftleft(F.col("asset_id"), _FRAME_BITS)
-                + F.col("frame_idx").cast("long")
-            ).alias("doc_id"),
-            F.col("phash").alias("simhash"),
-        )
-        sig = img.unionByName(vid).persist()
+        _check_node_collisions(nodes, "cross_modal_matches")
+        sig = img_feats.select(
+            _image_node_id().alias("doc_id"), F.col("phash").alias("simhash")
+        ).unionByName(
+            vid_feats.select(
+                _frame_node_id().alias("doc_id"), F.col("phash").alias("simhash")
+            )
+        ).persist()
         pins.append(sig)
         sig.count()  # eager: scanned by band generation
         edges = simhash_candidate_edges(sig, cfg, caches)
+        # survivors-only re-join to recover identities; orientation of the
+        # canonical (src < dst) hash pair carries no modality information, so
+        # normalize with the kind column
+        e = edges.join(
+            nodes.select(
+                F.col("node_id").alias("src"),
+                F.col("kind").alias("src_kind"),
+                F.col("asset_id").alias("src_asset"),
+                F.col("frame_idx").alias("src_frame"),
+            ),
+            ["src"],
+        ).join(
+            nodes.select(
+                F.col("node_id").alias("dst"),
+                F.col("kind").alias("dst_kind"),
+                F.col("asset_id").alias("dst_asset"),
+                F.col("frame_idx").alias("dst_frame"),
+            ),
+            ["dst"],
+        )
+        img_first = F.col("src_kind") == "img"
         return (
-            edges.filter((F.col("src") < 0) & (F.col("dst") >= 0))
+            e.filter(F.col("src_kind") != F.col("dst_kind"))
             .select(
-                (-F.col("src") - 1).alias("image_asset_id"),
-                F.shiftrightunsigned("dst", _FRAME_BITS).alias("video_asset_id"),
-                (F.col("dst").bitwiseAND(F.lit((1 << _FRAME_BITS) - 1)))
-                .cast("int")
+                F.when(img_first, F.col("src_asset"))
+                .otherwise(F.col("dst_asset"))
+                .alias("image_asset_id"),
+                F.when(img_first, F.col("dst_asset"))
+                .otherwise(F.col("src_asset"))
+                .alias("video_asset_id"),
+                F.when(img_first, F.col("dst_frame"))
+                .otherwise(F.col("src_frame"))
                 .alias("frame_idx"),
                 "hamming",
             )
@@ -141,8 +183,8 @@ def video_dedup(
     frames (frame pHash Hamming <= cfg.hamming_d).
 
     assets  multimodal asset table (sources/multimodal.ASSET_SCHEMA); only
-            kind='video' rows participate. asset_id must be >= 0 and <
-            2^43 (packed with the frame index into one signed long).
+            kind='video' rows participate. asset_id may be ANY signed 64-bit
+            value — frame node ids are hash-derived and collision-guarded.
 
     Returns (asset_id, n_frames_sampled, cluster_id, cluster_size) for
     members of multi-member clusters; cluster_id = min asset_id.
@@ -158,7 +200,7 @@ def video_dedup(
             spark, feats, cfg, min_matched_frames, caches
         )
     finally:
-        # released even when the bounds check or edge generation raises
+        # released even when the collision guard or edge generation raises
         for c in caches:
             c.unpersist()
         feats.unpersist()
@@ -171,34 +213,53 @@ def _video_dedup_body(
     from imgdupes_spark.operators.components import connected_components
     from imgdupes_spark.operators.lsh import simhash_candidate_edges
 
-    _check_packing_bounds(feats, "video_dedup")
+    nodes = feats.select(
+        _frame_node_id().alias("node_id"), "asset_id", "frame_idx"
+    )
+    _check_node_collisions(nodes, "video_dedup")
     sig = feats.select(
-        (
-            F.shiftleft(F.col("asset_id"), _FRAME_BITS)
-            + F.col("frame_idx").cast("long")
-        ).alias("doc_id"),
-        F.col("phash").alias("simhash"),
+        _frame_node_id().alias("doc_id"), F.col("phash").alias("simhash")
     )
     frame_edges = simhash_candidate_edges(sig, cfg, caches)
-    # frame pair -> video pair; src < dst at the frame level implies
-    # vsrc <= vdst (the frame idx occupies the low bits), so the video pair
-    # is already canonical once self-pairs are dropped. The threshold counts
-    # DISTINCT matched frames on each side, not pair rows: one shared moment
-    # (a branded intro card on both sides) makes n_src x n_dst pair rows but
-    # only min(n_src, n_dst) genuinely matched frames — counting rows would
+    # frame pair -> video pair: recover (asset, frame) per endpoint via the
+    # survivors-only node-map join, then canonicalize the video pair with
+    # least/greatest (hash node ids carry no asset ordering). The threshold
+    # counts DISTINCT matched frames on each side, not pair rows: one shared
+    # moment (a branded intro card on both sides) makes n_a x n_b pair rows
+    # but only min(n_a, n_b) genuinely matched frames — counting rows would
     # let a single shared card weld unrelated videos.
+    e = frame_edges.join(
+        nodes.select(
+            F.col("node_id").alias("src"),
+            F.col("asset_id").alias("src_asset"),
+            F.col("frame_idx").alias("src_frame"),
+        ),
+        ["src"],
+    ).join(
+        nodes.select(
+            F.col("node_id").alias("dst"),
+            F.col("asset_id").alias("dst_asset"),
+            F.col("frame_idx").alias("dst_frame"),
+        ),
+        ["dst"],
+    )
+    a_first = F.col("src_asset") < F.col("dst_asset")
     video_edges = (
-        frame_edges.select(
-            F.shiftrightunsigned("src", _FRAME_BITS).alias("vsrc"),
-            F.shiftrightunsigned("dst", _FRAME_BITS).alias("vdst"),
-            "src",
-            "dst",
+        e.filter(F.col("src_asset") != F.col("dst_asset"))
+        .select(
+            F.least("src_asset", "dst_asset").alias("vsrc"),
+            F.greatest("src_asset", "dst_asset").alias("vdst"),
+            F.when(a_first, F.col("src_frame"))
+            .otherwise(F.col("dst_frame"))
+            .alias("f_lo"),
+            F.when(a_first, F.col("dst_frame"))
+            .otherwise(F.col("src_frame"))
+            .alias("f_hi"),
         )
-        .filter(F.col("vsrc") != F.col("vdst"))
         .groupBy("vsrc", "vdst")
         .agg(
             F.least(
-                F.countDistinct("src"), F.countDistinct("dst")
+                F.countDistinct("f_lo"), F.countDistinct("f_hi")
             ).alias("n_matched")
         )
         .filter(F.col("n_matched") >= min_matched_frames)

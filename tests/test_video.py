@@ -31,6 +31,13 @@ def _ham(a: int, b: int) -> int:
     return bin((a % 2**64) ^ (b % 2**64)).count("1")
 
 
+def wid(i: int) -> int:
+    """Full-range signed-64 asset ids (negative, > 2^43, the works): the
+    engine's own id convention is hash-derived ids, and video/cross-modal
+    must run on them with no packing precondition (round-3 verdict item 1)."""
+    return ((i * 0x9E3779B97F4A7C15 + 3) % 2**64) - 2**63
+
+
 def test_y4m_roundtrip_sampling_and_dispatch():
     frames = mkvideo(1)
     dec, fps = decode_y4m(encode_y4m(frames, fps=4))
@@ -75,19 +82,23 @@ def test_cross_modal_matches_image_in_video(spark):
         axis=2,
     )
     unrelated = np.repeat(mkluma(999)[:, :, None], 3, axis=2)
+    # full-range hash-style ids: negative video id, image id > 2^43 — must
+    # work with no dense-renumbering pass
+    vid_id, img_id, other_id = -(2**62 + 5), 2**55 + 123, -7
     rows = [
-        (1, "video", bytearray(vid_payload), ("video/x-y4m", len(vid_payload))),
-        (20, "image", bytearray(encode_ppm(still)), ("image/x-test", 1)),
-        (21, "image", bytearray(encode_ppm(unrelated)), ("image/x-test", 1)),
+        (vid_id, "video", bytearray(vid_payload), ("video/x-y4m", len(vid_payload))),
+        (img_id, "image", bytearray(encode_ppm(still)), ("image/x-test", 1)),
+        (other_id, "image", bytearray(encode_ppm(unrelated)), ("image/x-test", 1)),
     ]
     assets = spark.createDataFrame(rows, ASSET_SCHEMA)
     got = cross_modal_matches(
         assets, DedupeConfig(hamming_d=4), every_s=0.25
     ).collect()
     assert any(
-        (r.image_asset_id, r.video_asset_id, r.frame_idx) == (20, 1, 7) for r in got
+        (r.image_asset_id, r.video_asset_id, r.frame_idx) == (img_id, vid_id, 7)
+        for r in got
     ), got
-    assert not any(r.image_asset_id == 21 for r in got), got
+    assert not any(r.image_asset_id == other_id for r in got), got
 
 
 def test_video_dedup_clusters_planted_variants(spark):
@@ -113,14 +124,14 @@ def test_video_dedup_clusters_planted_variants(spark):
         ]
         for v in variants:
             payload = encode_y4m(v, fps=4)
-            rows.append((aid, "video", bytearray(payload), ("video/x-y4m", len(payload))))
-            truth[aid] = g
+            rows.append((wid(aid), "video", bytearray(payload), ("video/x-y4m", len(payload))))
+            truth[wid(aid)] = g
             aid += 1
     # distinct singletons must stay out
     for s in range(4):
         payload = encode_y4m(mkvideo(700 + s), fps=4)
-        rows.append((aid, "video", bytearray(payload), ("video/x-y4m", len(payload))))
-        truth[aid] = f"single{s}"
+        rows.append((wid(aid), "video", bytearray(payload), ("video/x-y4m", len(payload))))
+        truth[wid(aid)] = f"single{s}"
         aid += 1
     # two unrelated videos sharing only BLACK frames must NOT link (guard)
     for s in range(2):
@@ -128,10 +139,10 @@ def test_video_dedup_clusters_planted_variants(spark):
             np.zeros((48, 64), np.uint8) for _ in range(6)
         ]
         payload = encode_y4m(frames, fps=4)
-        rows.append((aid, "video", bytearray(payload), ("video/x-y4m", len(payload))))
-        truth[aid] = f"black{s}"
+        rows.append((wid(aid), "video", bytearray(payload), ("video/x-y4m", len(payload))))
+        truth[wid(aid)] = f"black{s}"
         aid += 1
-    rows.append((aid, "audio", bytearray(b"RIFF not video"), ("audio/wav", 14)))
+    rows.append((wid(aid), "audio", bytearray(b"RIFF not video"), ("audio/wav", 14)))
 
     assets = spark.createDataFrame(rows, ASSET_SCHEMA).repartition(4)
     out = video_dedup(
