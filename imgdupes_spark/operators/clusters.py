@@ -182,7 +182,21 @@ def with_set_rank(
     big = members.filter(big_pred)
     if big.isEmpty():  # one cheap probe job; skips the 3-shuffle mega path
         return ranked
-    return ranked.unionByName(_mega_cluster_rank(big, order))
+    # _mega_cluster_rank pins its range-partitioned slice with an eager
+    # localCheckpoint (the partitioner samples, so partition ids must be
+    # stable across its two downstream reads). That pin is the FULL
+    # mega-cluster member table — release it as soon as the ranked result
+    # is materialized, same discipline as every other checkpoint
+    # (caching.py; round-3 advice item 1).
+    from imgdupes_spark.caching import persistent_rdd_ids, release_rdd_ids
+
+    spark = members.sparkSession
+    pre = persistent_rdd_ids(spark)
+    mega = _mega_cluster_rank(big, order)
+    pinned = persistent_rdd_ids(spark) - pre
+    out = ranked.unionByName(mega).localCheckpoint(eager=True)
+    release_rdd_ids(spark, pinned)
+    return out
 
 
 def delete_plan(

@@ -153,7 +153,8 @@ def stream_quality_gate(
     """Streaming quality gate: score every arriving doc with the per-row
     curation signals (token count, repetition fractions, type/token ratio)
     and stamp a ``reject_reason`` — NULL for accepted docs, else the first
-    failing rule ('too_short' | 'dup_lines' | 'repetitive'). One appended
+    failing rule ('null_content' | 'too_short' | 'dup_lines' |
+    'repetitive'). One appended
     table; consumers filter ``reject_reason IS NULL`` for the training feed
     and the rest for the audit queue.
 
@@ -179,9 +180,14 @@ def stream_quality_gate(
         token_count_col(c).alias("token_count"),
         *repetition_columns(c),
     )
+    # NULL content first: every downstream signal is NULL for such a row, so
+    # every threshold when() would evaluate to NULL and the degenerate doc
+    # would be silently ADMITTED (NULL reject_reason = accepted) — the
+    # round-3 advice item. Reject it explicitly before the signal rules.
     gated = scored.withColumn(
         "reject_reason",
-        F.when(F.col("token_count") < min_tokens, "too_short")
+        F.when(c.isNull(), "null_content")
+        .when(F.col("token_count") < min_tokens, "too_short")
         .when(F.col("dup_line_frac") > max_dup_line_frac, "dup_lines")
         .when(
             F.col("distinct_token_ratio") < min_distinct_token_ratio, "repetitive"

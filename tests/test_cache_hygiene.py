@@ -79,3 +79,54 @@ def test_dedupe_members_pipeline_drains_all(spark, cfg, small_corpus):
     assert members.count() > 0
     new = _new_after(spark, before)
     assert len(new) <= 1, f"leaked persistent RDDs: {new}"
+
+
+def test_mega_rank_releases_range_checkpoint(spark, cfg, small_corpus):
+    """The mega-cluster rank path pins a range-partitioned slice of the
+    member table with an eager localCheckpoint; it must be released once the
+    ranked result is materialized (round-3 advice item 1) — the slice is the
+    10^8-row scenario the path exists for, so leaking it pins the biggest
+    table of the job for the session."""
+    from imgdupes_spark.operators.clusters import delete_plan, dedupe_members
+
+    small_corpus.count()
+    sig = signatures(small_corpus, cfg)
+    members = dedupe_members(sig, cfg)
+    members.count()
+    before = _persistent_ids(spark)
+    # mega_cluster_rows=0 forces every cluster through the mega path
+    plan = delete_plan(members, cfg, mega_cluster_rows=0)
+    assert plan.count() > 0
+    new = _new_after(spark, before)
+    # exactly the materialized ranked result — the parted slice is gone
+    assert len(new) <= 1, f"leaked persistent RDDs: {new}"
+
+
+def test_run_curation_never_persists_content(spark, cfg, small_corpus, tmp_path, monkeypatch):
+    """Round-3 verdict item 4: the curation stage must follow the signatures
+    stage's pruning discipline — nothing content-bearing is ever persisted.
+    Spies on DataFrame.persist for the duration of run_curation and asserts
+    no persisted plan carries the corpus `content` (or bench `text`) column;
+    also asserts the stage drains whatever it does persist."""
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    from imgdupes_spark.plans.pipeline import DedupePipeline
+
+    small_corpus.count()
+    persisted_cols: list[set] = []
+    orig = SparkDataFrame.persist
+
+    def spy(self, *a, **k):
+        persisted_cols.append(set(self.columns))
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(SparkDataFrame, "persist", spy)
+    before = _persistent_ids(spark)
+    bench = spark.createDataFrame([("some benchmark suite text",)], "text string")
+    pipe = DedupePipeline(spark, cfg, str(tmp_path / "wd_hyg"))
+    out = pipe.run_curation(small_corpus, bench=bench)
+    assert out.count() == small_corpus.count()
+    wide = [c for c in persisted_cols if "content" in c or "text" in c]
+    assert not wide, f"content-bearing plans persisted during curation: {wide}"
+    new = _new_after(spark, before)
+    assert len(new) <= 1, f"leaked persistent RDDs: {new}"

@@ -157,6 +157,10 @@ def test_stream_quality_gate_reasons(spark, cfg, tmp_path):
             ("short", "tiny doc"),
             ("dup_lines", "same line\n" * 40 + "same line"),
             ("spam", " ".join(["buy"] * 60)),
+            # NULL content: every signal is NULL, every threshold when() is
+            # NULL — without the explicit leading rule this degenerate doc
+            # would be silently ADMITTED (round-3 advice item 2)
+            ("nul", None),
         ]
     )
     spark.createDataFrame(wave).write.mode("append").parquet(src)
@@ -167,13 +171,14 @@ def test_stream_quality_gate_reasons(spark, cfg, tmp_path):
         "short": "too_short",
         "dup_lines": "dup_lines",
         "spam": "repetitive",
+        "nul": "null_content",
     }, got
 
     # restart drains only new files
     spark.createDataFrame(rows([("good2", "another clean document with many different tokens inside")])).write.mode("append").parquet(src)
     stream_quality_gate(spark, src, dst, ckpt).awaitTermination(120)
     got2 = spark.read.parquet(dst)
-    assert got2.count() == 5
+    assert got2.count() == 6
     assert got2.filter("reject_reason IS NULL").count() == 2
 
 
