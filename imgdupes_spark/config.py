@@ -44,6 +44,18 @@ class DedupeConfig:
     # which a band bucket is considered boilerplate-degenerate.
     max_bucket_size: int = 2000
     salt_parts: int = 16
+    # degenerate-bucket guard: band buckets larger than this generate NO
+    # pairs at all (salting spreads an m^2 bucket across tasks but cannot
+    # shrink the m^2 pair volume itself — a 10^7-row bucket is 5*10^13
+    # candidate pairs, unpayable at any parallelism). Buckets that large are
+    # band-key boilerplate (e.g. an all-zero simhash block combo from
+    # short/templated docs surviving the sha pre-collapse), the standard
+    # production-LSH skip. Recall bound: a true pair is lost only if EVERY
+    # combo key it shares is capped — pairs at Hamming h share C(b-h, b-d)
+    # combos (>= 1 at the h=d boundary, 5 at h=d-1 for b=8,d=4), so only
+    # boundary pairs whose single guaranteed combo is degenerate can drop.
+    # None (default) disables the cap — exact semantics, oracle-tested.
+    bucket_cap: int | None = None
 
     # --- edge-pass dispatch (reference hash-method dispatch analogue,
     #     common/hashcache.py:130-141: ahash/phash/dhash/whash -> one method;
@@ -101,6 +113,10 @@ class DedupeConfig:
         assert self.image_hash_method in (
             "phash_org", "phash", "ahash", "dhash", "whash",
         ), self.image_hash_method
+        assert self.bucket_cap is None or self.bucket_cap > self.max_bucket_size, (
+            "bucket_cap must exceed max_bucket_size (capped buckets are the "
+            "degenerate tail of the salted-hot range)"
+        )
 
     @property
     def simhash_band_bits(self) -> int:

@@ -232,6 +232,23 @@ def _pairs_from_bands(
         ),
     )
 
+    # Degenerate-bucket guard (cfg.bucket_cap, default off): buckets above
+    # the cap generate no pairs — salting spreads an m^2 bucket across s^2
+    # tasks but the m^2 pair VOLUME is the real wall (10^7 rows = 5*10^13
+    # pairs). The skipped row count is surfaced loudly ("no silent caps").
+    if cfg.bucket_cap is not None:
+        n_capped = b.filter(F.col("bucket_n") > cfg.bucket_cap).count()
+        if n_capped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "bucket_cap=%d: skipping %d band rows in degenerate buckets "
+                "(boilerplate band keys; see config.bucket_cap recall bound)",
+                cfg.bucket_cap,
+                n_capped,
+            )
+            b = b.filter(F.col("bucket_n") <= cfg.bucket_cap)
+
     # Hot buckets: docs hash to one of s salt groups; the pair (x, y) with
     # salts (gx, gy) is generated by exactly the (min(gx,gy), max(gx,gy))
     # salt-pair task. The join therefore MUST NOT also demand a doc_id

@@ -103,6 +103,41 @@ def test_megacluster_output_stage(spark):
     print(f"\nmegacluster output stage: delete_plan {t_rank:.1f}s, cross_repo {t_flag:.1f}s")
 
 
+def test_degenerate_bucket_cap_and_window_cost(spark):
+    """Round-3 verdict item 2: force a single multi-million-row band bucket
+    through _pairs_from_bands. Two things proven:
+
+    1. the bucket-size window (count over partitionBy(bkey)) pays one task
+       that sorts/counts the whole 3M-row bucket — timed here and recorded
+       in BASELINE.md; WindowExec spills, so it completes, and the measured
+       cost bounds the straggler;
+    2. cfg.bucket_cap skips the degenerate bucket's pair generation entirely
+       (3M rows = 4.5*10^12 pairs — unpayable at ANY parallelism; salting
+       only spreads it), while planted pairs in healthy buckets all survive.
+    """
+    from imgdupes_spark.config import DedupeConfig
+    from imgdupes_spark.operators.lsh import _pairs_from_bands
+
+    mega = spark.range(3_000_000).select(
+        F.col("id").alias("doc_id"), F.lit(0).cast("long").alias("bkey")
+    )
+    # 100k healthy 2-member buckets (bkeys 1..100_000) -> exactly 100k pairs
+    planted = spark.range(200_000).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        (F.lit(1) + F.col("id") % 100_000).alias("bkey"),
+    )
+    bands = mega.unionByName(planted).repartition(16)
+    cfg = DedupeConfig(bucket_cap=100_000)
+    t0 = time.time()
+    pairs = _pairs_from_bands(bands, None, cfg)
+    n = pairs.count()
+    t = time.time() - t0
+    assert n == 100_000, n
+    # every pair is from a planted bucket; none from the capped mega bucket
+    assert pairs.filter(F.col("src") < 10_000_000).count() == 0
+    print(f"\ndegenerate 3M-row bucket: window-count + cap + pairs in {t:.1f}s")
+
+
 def test_megacomponent_star_skew(spark):
     """One node with 500k-degree inside a graph that also has 500k 2-cliques:
     the skewed groupBy keys in large/small-star must not break correctness."""
