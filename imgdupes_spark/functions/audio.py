@@ -107,14 +107,17 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 # ------------------------------------------------------------------ kernel
 
 
-def audio_hash64(samples: np.ndarray, frames: int = 65) -> int:
-    """64-bit energy-envelope difference hash (see module docstring).
-
-    Clips shorter than ``frames`` samples are zero-padded; the all-silent
-    clip hashes to 0 (no energy gradient anywhere)."""
+def _mix_mono(samples: np.ndarray) -> np.ndarray:
     mono = samples.astype(np.float64)
     if mono.ndim == 2:
         mono = mono.mean(axis=1)
+    return mono
+
+
+def _envelope_hash(mono: np.ndarray, frames: int = 65) -> int:
+    """Energy-envelope difference hash of one mono float window (the shared
+    kernel behind audio_hash64 and audio_chunk_hashes — bit-identical to the
+    pre-chunking whole-clip kernel; goldens pinned in tests/test_audio.py)."""
     if len(mono) < frames:
         mono = np.pad(mono, (0, frames - len(mono)))
     from imgdupes_spark.functions.imaging import _pack64
@@ -123,3 +126,44 @@ def audio_hash64(samples: np.ndarray, frames: int = 65) -> int:
     widths = np.diff(np.append(bounds, len(mono)))
     energy = np.add.reduceat(mono * mono, bounds) / widths
     return _pack64(energy[1:] > energy[:-1])
+
+
+def audio_hash64(samples: np.ndarray, frames: int = 65) -> int:
+    """64-bit energy-envelope difference hash of the WHOLE clip (see module
+    docstring). Clips shorter than ``frames`` samples are zero-padded; the
+    all-silent clip hashes to 0 (no energy gradient anywhere).
+
+    Offset bound: the 65 frame boundaries are normalized over the entire
+    clip, so this is a same-duration-copy detector — gain/noise-invariant,
+    but a trim or prepended silence shifts every boundary and the hash
+    misses. Trim/offset robustness is audio_chunk_hashes' job."""
+    return _envelope_hash(_mix_mono(samples), frames)
+
+
+def audio_chunk_hashes(
+    samples: np.ndarray,
+    rate: int,
+    chunk_s: float = 2.0,
+    hop_s: float = 1.0,
+    frames: int = 65,
+) -> list[tuple[int, int]]:
+    """Per-chunk envelope hashes — the video frame pattern for audio:
+    (chunk_idx, hash64) for each ``chunk_s``-second window taken every
+    ``hop_s`` seconds. Trimmed/padded copies of a clip share the chunks
+    whose windows cover the same audio, so chunk-level matching (k shared
+    chunk hashes => same clip) finds offset copies the whole-clip hash
+    cannot: alignment is exact when the offset is a multiple of the hop,
+    and sub-hop offsets lean on the Hamming tolerance of the envelope hash
+    (frame energies are window averages — a small shift flips few bits).
+
+    Clips not longer than one chunk emit a single whole-clip row whose hash
+    is bit-identical to audio_hash64 — short-clip matching degenerates to
+    exactly the whole-clip semantics."""
+    mono = _mix_mono(samples)
+    chunk, hop = int(chunk_s * rate), int(hop_s * rate)
+    if len(mono) <= chunk:
+        return [(0, _envelope_hash(mono, frames))]
+    return [
+        (i, _envelope_hash(mono[s : s + chunk], frames))
+        for i, s in enumerate(range(0, len(mono) - chunk + 1, hop))
+    ]

@@ -95,17 +95,48 @@ def image_dedup(
         feats.unpersist()
 
 
-def audio_dedup(assets: DataFrame, cfg: DedupeConfig | None = None) -> DataFrame:
-    """Cluster audio assets (kind='audio') whose energy-envelope hash
-    (functions/audio.audio_hash64) is within cfg.hamming_d — re-gained and
-    lightly-noised copies of the same clip cluster; distinct clips do not.
-    Same machinery, third modality."""
-    from imgdupes_spark.sources.multimodal import extract_audio_features
+def audio_dedup(
+    assets: DataFrame,
+    cfg: DedupeConfig | None = None,
+    chunk_s: float = 2.0,
+    hop_s: float = 1.0,
+    min_matched_chunks: int = 2,
+) -> DataFrame:
+    """Cluster audio assets (kind='audio') sharing >= min_matched_chunks
+    near-duplicate envelope-hash chunks (functions/audio.audio_chunk_hashes,
+    Hamming <= cfg.hamming_d per chunk) — the video frame pattern applied to
+    audio (operators/video.partwise_dedup), so TRIMMED and PADDED copies
+    match on the chunks that cover the same audio, not just re-gained
+    same-duration copies. Alignment is exact for offsets that are multiples
+    of ``hop_s``; sub-hop offsets lean on the per-chunk Hamming tolerance.
+
+    Clips not longer than one chunk emit a single whole-clip chunk whose
+    hash is bit-identical to the round-3 whole-clip audio_hash64, and the
+    adaptive threshold (min(min_matched_chunks, n_chunks both sides)) makes
+    their matching degenerate to exactly the old whole-clip semantics.
+
+    Returns (asset_id, n_chunks, cluster_id, cluster_size) for members of
+    multi-member clusters; cluster_id = min asset_id."""
+    from imgdupes_spark.operators.video import partwise_dedup
+    from imgdupes_spark.sources.multimodal import extract_audio_chunk_features
 
     cfg = cfg or DedupeConfig()
-    feats = extract_audio_features(assets).persist()
+    caches: list[DataFrame] = []
+    feats = extract_audio_chunk_features(assets, chunk_s, hop_s).persist()
     try:
-        feats.count()
-        return perceptual_hash_dedup(feats, cfg, "ahash")
+        return partwise_dedup(
+            feats,
+            cfg,
+            min_matched_chunks,
+            caches,
+            salt="achunk",
+            part_col="chunk_idx",
+            hash_col="chash",
+            n_col="n_chunks",
+            op="audio_dedup",
+            adaptive_min=True,
+        )
     finally:
+        for c in caches:
+            c.unpersist()
         feats.unpersist()

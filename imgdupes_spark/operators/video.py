@@ -192,12 +192,19 @@ def video_dedup(
     from imgdupes_spark.sources.multimodal import extract_video_features
 
     cfg = cfg or DedupeConfig()
-    spark = assets.sparkSession
     caches: list[DataFrame] = []
     feats = extract_video_features(assets, every_s=every_s).persist()
     try:
-        return _video_dedup_body(
-            spark, feats, cfg, min_matched_frames, caches
+        return partwise_dedup(
+            feats,
+            cfg,
+            min_matched_frames,
+            caches,
+            salt=_FRAME_SALT,
+            part_col="frame_idx",
+            hash_col="phash",
+            n_col="n_frames_sampled",
+            op="video_dedup",
         )
     finally:
         # released even when the collision guard or edge generation raises
@@ -206,80 +213,128 @@ def video_dedup(
         feats.unpersist()
 
 
-def _video_dedup_body(
-    spark, feats: DataFrame, cfg: DedupeConfig, min_matched_frames: int, caches: list
+def partwise_dedup(
+    feats: DataFrame,
+    cfg: DedupeConfig,
+    min_matched: int,
+    caches: list,
+    salt: str,
+    part_col: str,
+    hash_col: str,
+    n_col: str,
+    op: str,
+    adaptive_min: bool = False,
 ) -> DataFrame:
+    """Shared part-fingerprint matching tail: cluster assets sharing >=
+    ``min_matched`` near-duplicate parts, where a part is a sampled video
+    frame (video_dedup) or an overlapping audio chunk (audio_dedup) —
+    ``feats`` is (asset_id, part_col, hash_col) with hash_col in the simhash
+    word layout.
+
+    ``adaptive_min=True`` relaxes the threshold per pair to
+    min(min_matched, n_parts(a), n_parts(b)) so assets with fewer parts than
+    the threshold (short clips — including the single whole-clip chunk) can
+    still match on everything they have; with False, pairs below the fixed
+    threshold never link (videos: a 2-frame match is boilerplate, not a
+    copy).
+
+    Returns (asset_id, n_col, cluster_id, cluster_size) for members of
+    multi-member clusters; cluster_id = min asset_id.
+    """
     from imgdupes_spark.caching import persistent_rdd_ids, release_rdd_ids
     from imgdupes_spark.operators.components import connected_components
     from imgdupes_spark.operators.lsh import simhash_candidate_edges
 
-    nodes = feats.select(
-        _frame_node_id().alias("node_id"), "asset_id", "frame_idx"
-    )
-    _check_node_collisions(nodes, "video_dedup")
+    spark = feats.sparkSession
+    node_id = F.xxhash64(F.lit(salt), F.col("asset_id"), F.col(part_col))
+    nodes = feats.select(node_id.alias("node_id"), "asset_id", part_col)
+    _check_node_collisions(nodes, op)
     sig = feats.select(
-        _frame_node_id().alias("doc_id"), F.col("phash").alias("simhash")
+        node_id.alias("doc_id"), F.col(hash_col).alias("simhash")
     )
-    frame_edges = simhash_candidate_edges(sig, cfg, caches)
-    # frame pair -> video pair: recover (asset, frame) per endpoint via the
-    # survivors-only node-map join, then canonicalize the video pair with
+    part_edges = simhash_candidate_edges(sig, cfg, caches)
+    # part pair -> asset pair: recover (asset, part) per endpoint via the
+    # survivors-only node-map join, then canonicalize the asset pair with
     # least/greatest (hash node ids carry no asset ordering). The threshold
-    # counts DISTINCT matched frames on each side, not pair rows: one shared
+    # counts DISTINCT matched parts on each side, not pair rows: one shared
     # moment (a branded intro card on both sides) makes n_a x n_b pair rows
-    # but only min(n_a, n_b) genuinely matched frames — counting rows would
-    # let a single shared card weld unrelated videos.
-    e = frame_edges.join(
+    # but only min(n_a, n_b) genuinely matched parts — counting rows would
+    # let a single shared card weld unrelated assets.
+    e = part_edges.join(
         nodes.select(
             F.col("node_id").alias("src"),
             F.col("asset_id").alias("src_asset"),
-            F.col("frame_idx").alias("src_frame"),
+            F.col(part_col).alias("src_part"),
         ),
         ["src"],
     ).join(
         nodes.select(
             F.col("node_id").alias("dst"),
             F.col("asset_id").alias("dst_asset"),
-            F.col("frame_idx").alias("dst_frame"),
+            F.col(part_col).alias("dst_part"),
         ),
         ["dst"],
     )
+    counts = feats.groupBy("asset_id").agg(F.count("*").alias(n_col))
     a_first = F.col("src_asset") < F.col("dst_asset")
-    video_edges = (
+    matched = (
         e.filter(F.col("src_asset") != F.col("dst_asset"))
         .select(
             F.least("src_asset", "dst_asset").alias("vsrc"),
             F.greatest("src_asset", "dst_asset").alias("vdst"),
-            F.when(a_first, F.col("src_frame"))
-            .otherwise(F.col("dst_frame"))
-            .alias("f_lo"),
-            F.when(a_first, F.col("dst_frame"))
-            .otherwise(F.col("src_frame"))
-            .alias("f_hi"),
+            F.when(a_first, F.col("src_part"))
+            .otherwise(F.col("dst_part"))
+            .alias("p_lo"),
+            F.when(a_first, F.col("dst_part"))
+            .otherwise(F.col("src_part"))
+            .alias("p_hi"),
         )
         .groupBy("vsrc", "vdst")
         .agg(
             F.least(
-                F.countDistinct("f_lo"), F.countDistinct("f_hi")
+                F.countDistinct("p_lo"), F.countDistinct("p_hi")
             ).alias("n_matched")
         )
-        .filter(F.col("n_matched") >= min_matched_frames)
-        .select(F.col("vsrc").alias("src"), F.col("vdst").alias("dst"))
+    )
+    if adaptive_min:
+        # short assets (fewer parts than the threshold) match on all they
+        # have — the per-pair effective threshold is bounded by both sides'
+        # part counts. The counts table is one narrow row per asset.
+        matched = (
+            matched.join(
+                counts.select(
+                    F.col("asset_id").alias("vsrc"), F.col(n_col).alias("_ns")
+                ),
+                ["vsrc"],
+            )
+            .join(
+                counts.select(
+                    F.col("asset_id").alias("vdst"), F.col(n_col).alias("_nd")
+                ),
+                ["vdst"],
+            )
+            .filter(
+                F.col("n_matched")
+                >= F.least(F.lit(min_matched), F.col("_ns"), F.col("_nd"))
+            )
+        )
+    else:
+        matched = matched.filter(F.col("n_matched") >= min_matched)
+    asset_edges = matched.select(
+        F.col("vsrc").alias("src"), F.col("vdst").alias("dst")
     )
     pre_cc = persistent_rdd_ids(spark)
-    comps = connected_components(video_edges)
+    comps = connected_components(asset_edges)
     cc_ids = persistent_rdd_ids(spark) - pre_cc
     stats = (
         comps.groupBy("cluster_id")
         .agg(F.count("*").alias("cluster_size"))
         .filter(F.col("cluster_size") > 1)
     )
-    videos = feats.groupBy("asset_id").agg(
-        F.count("*").alias("n_frames_sampled")
-    )
     out = (
-        videos.join(comps.withColumnRenamed("doc_id", "asset_id"), ["asset_id"])
+        counts.join(comps.withColumnRenamed("doc_id", "asset_id"), ["asset_id"])
         .join(stats, ["cluster_id"])
-        .select("asset_id", "n_frames_sampled", "cluster_id", "cluster_size")
+        .select("asset_id", n_col, "cluster_id", "cluster_size")
         .localCheckpoint(eager=True)
     )
     release_rdd_ids(spark, cc_ids)

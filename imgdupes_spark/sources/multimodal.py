@@ -134,6 +134,35 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
     return clips.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_CHUNK_SCHEMA = "asset_id long, chunk_idx int, chash long"
+
+
+def extract_audio_chunk_features(
+    assets: DataFrame, chunk_s: float = 2.0, hop_s: float = 1.0
+) -> DataFrame:
+    """Decode + chunk + fingerprint audio clips (kind='audio'): one output
+    row per overlapping envelope-hash chunk (functions/audio.
+    audio_chunk_hashes) — the audio analogue of extract_video_features'
+    frame rows. Clips not longer than one chunk emit a single whole-clip
+    row bit-identical to extract_audio_features' ahash. Same Arrow
+    mapInPandas contract; rows are 8-byte id + 4-byte idx + 8-byte hash."""
+    from imgdupes_spark.functions.audio import audio_chunk_hashes, decode_audio
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, m in zip(pdf["asset_id"], pdf["media"]):
+                samples, rate = decode_audio(m or b"")
+                for idx, h in audio_chunk_hashes(samples, rate, chunk_s, hop_s):
+                    rows.append((int(aid), idx, h))
+            out = pd.DataFrame(rows, columns=["asset_id", "chunk_idx", "chash"])
+            out["chash"] = out["chash"].astype("int64")
+            yield out
+
+    clips = assets.filter(F.col("kind") == "audio").select("asset_id", "media")
+    return clips.mapInPandas(run, AUDIO_CHUNK_SCHEMA)
+
+
 def resize_plan(assets: DataFrame, max_px: int = 512) -> DataFrame:
     """Plumbing for a resize stage: projects the work list (what would be
     resized and to what) without decoding — the planning half is pure SQL and
