@@ -401,12 +401,14 @@ def _q_doc_fingerprints(spark, sf_dir):
 
 
 def _q_image_dedup(spark, sf_dir):
-    """Image near-dup clustering on REAL bytes (rows-only: the DCT pHash is
-    not SQL-expressible; the kernel spec is pinned by golden vectors in
-    tests/test_imaging.py). Assets are synthesized deterministically: the
-    first 60 doc_ids label 20 planted groups x 3 perceptual variants
-    (identity PPM / +7-brightness BMP / seeded-noise PPM) — every group must
-    come back as one 3-member cluster keyed by its min doc_id."""
+    """Image near-dup clustering on REAL bytes. The DCT pHash itself is not
+    SQL-expressible (kernel spec pinned by golden vectors in
+    tests/test_imaging.py), but the fixture IS: the first 60 doc_ids label
+    20 planted groups x 3 perceptual variants (identity PPM / +7-brightness
+    BMP / seeded-noise PPM), so the expected clustering — every group one
+    3-member cluster keyed by its min doc_id — is derivable in pure SQL
+    from the doc_id ranks. The oracle therefore checks VALUES: exact
+    planted recall AND precision, not just row counts."""
     import numpy as np
 
     from imgdupes_spark.functions.imaging import encode_bmp, encode_ppm
@@ -450,12 +452,13 @@ def _q_image_dedup(spark, sf_dir):
 
 
 def _q_audio_dedup(spark, sf_dir):
-    """Audio near-dup clustering on REAL RIFF/WAVE bytes (rows-only: the
-    energy-envelope hash is not SQL-expressible; spec pinned by goldens in
-    tests/test_audio.py). Deterministic synthesis mirrors image_dedup: the
-    first 45 doc_ids label 15 planted groups x 3 variants (identity /
-    0.6-gain / seeded noise) — every group must return as one 3-member
-    cluster."""
+    """Audio near-dup clustering on REAL RIFF/WAVE bytes (envelope-hash
+    kernel spec pinned by goldens in tests/test_audio.py; chunked matching
+    degenerates to whole-clip for these sub-chunk clips). Deterministic
+    synthesis mirrors image_dedup: the first 45 doc_ids label 15 planted
+    groups x 3 variants (identity / 0.6-gain / seeded noise) — the expected
+    clustering is derivable in pure SQL from the doc_id ranks, so the
+    oracle checks values (exact planted recall + precision)."""
     import numpy as np
 
     from imgdupes_spark.functions.audio import encode_wav
@@ -493,11 +496,12 @@ def _q_audio_dedup(spark, sf_dir):
 
 
 def _q_video_dedup(spark, sf_dir):
-    """Video near-dup clustering on REAL Y4M bytes (rows-only; frame-
-    fingerprint matching spec pinned by tests/test_video.py). The first 30
-    doc_ids label 10 planted groups x 3 variants (identity / +8 brightness /
-    seeded per-frame noise), 12 frames each — every group must return as one
-    3-member cluster."""
+    """Video near-dup clustering on REAL Y4M bytes (frame-fingerprint
+    matching spec pinned by tests/test_video.py). The first 30 doc_ids
+    label 10 planted groups x 3 variants (identity / +8 brightness / seeded
+    per-frame noise), 12 frames each — every group one 3-member cluster
+    with all 12 frames sampled, derivable in pure SQL from the doc_id
+    ranks; the oracle checks values."""
     import numpy as np
 
     from imgdupes_spark.functions.video import encode_y4m
@@ -540,10 +544,13 @@ def _q_video_dedup(spark, sf_dir):
 
 
 def _q_cross_modal(spark, sf_dir):
-    """Cross-modal matching (rows-only): 5 Y4M videos + 5 PPM stills under
-    the first 10 doc_ids; stills 0-2 are brightness-shifted copies of frame
-    7 of videos 0-2, stills 3-4 are unrelated — exactly three (image, video,
-    frame 7) matches must surface from the single shared band index."""
+    """Cross-modal matching: 5 Y4M videos + 5 PPM stills under the first 10
+    doc_ids; stills 0-2 are brightness-shifted copies of frame 7 of videos
+    0-2, stills 3-4 are unrelated — exactly three (image, video, frame 7)
+    matches must surface from the single shared band index. Value-oracled:
+    the planted (image, video, frame) ground truth is SQL-derivable from the
+    doc_id ranks; the hamming column is decode-dependent (clipping) and is
+    not part of the contract, so it is not projected."""
     import numpy as np
 
     from imgdupes_spark.functions.imaging import encode_ppm
@@ -581,7 +588,7 @@ def _q_cross_modal(spark, sf_dir):
         rows.append((int(ids[5 + g]), "image", bytearray(payload), ("image/x-test", len(payload))))
     assets = spark.createDataFrame(rows, ASSET_SCHEMA).repartition(8)
     out = cross_modal_matches(assets, DedupeConfig(hamming_d=4), every_s=0.25)
-    return out.select("image_asset_id", "video_asset_id", "frame_idx", "hamming")
+    return out.select("image_asset_id", "video_asset_id", "frame_idx")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -609,12 +616,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "repetition_profile": _q_repetition_profile,
         "probe_exact": _q_probe_exact,
-        # rows-only (no oracle_sql entry):
-        "doc_fingerprints": _q_doc_fingerprints,
+        # value-oracled via planted-ground-truth SQL (the kernels are not
+        # SQL-expressible, the fixtures' expected outputs are):
         "image_dedup": _q_image_dedup,
         "audio_dedup": _q_audio_dedup,
         "video_dedup": _q_video_dedup,
         "cross_modal": _q_cross_modal,
+        # rows-only (no oracle_sql entry — xxhash64 rolling fold has no
+        # DuckDB twin; value-tested against a pure-python twin in pytest):
+        "doc_fingerprints": _q_doc_fingerprints,
     }
 
 
@@ -894,5 +904,57 @@ def oracle_sql() -> dict[str, str]:
               round(CAST(coalesce(topc, 0) AS DOUBLE)
                     / greatest(len(toks), 1), 6) AS top_token_frac
             FROM t LEFT JOIN topt USING (doc_id)
+        """,
+        # Planted-ground-truth value oracles for the media modalities: the
+        # perceptual kernels are not SQL-expressible, but each fixture's
+        # EXPECTED output is a pure function of the doc_id ranks (groups of
+        # deterministic perceptual variants that must cluster exactly), so
+        # the oracle pins exact planted recall AND precision, not just row
+        # counts (round-3 verdict item 5).
+        "image_dedup": """
+            WITH ids AS (
+              SELECT doc_id,
+                     (row_number() OVER (ORDER BY doc_id) - 1) % 20 AS g
+              FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 60)
+            )
+            SELECT doc_id AS asset_id,
+                   min(doc_id) OVER (PARTITION BY g) AS cluster_id,
+                   count(*) OVER (PARTITION BY g) AS cluster_size
+            FROM ids
+        """,
+        "audio_dedup": """
+            WITH ids AS (
+              SELECT doc_id,
+                     (row_number() OVER (ORDER BY doc_id) - 1) % 15 AS g
+              FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 45)
+            )
+            SELECT doc_id AS asset_id,
+                   min(doc_id) OVER (PARTITION BY g) AS cluster_id,
+                   count(*) OVER (PARTITION BY g) AS cluster_size
+            FROM ids
+        """,
+        "video_dedup": """
+            WITH ids AS (
+              SELECT doc_id,
+                     (row_number() OVER (ORDER BY doc_id) - 1) % 10 AS g
+              FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 30)
+            )
+            SELECT doc_id AS asset_id,
+                   CAST(12 AS BIGINT) AS n_frames_sampled,
+                   min(doc_id) OVER (PARTITION BY g) AS cluster_id,
+                   count(*) OVER (PARTITION BY g) AS cluster_size
+            FROM ids
+        """,
+        "cross_modal": """
+            WITH ids AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS i
+              FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 10)
+            )
+            SELECT img.doc_id AS image_asset_id,
+                   vid.doc_id AS video_asset_id,
+                   CAST(7 AS INTEGER) AS frame_idx
+            FROM ids img JOIN ids vid ON img.i = vid.i + 5
+            WHERE vid.i < 3
         """,
     }
