@@ -81,6 +81,31 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     )
 
 
+def register_optional_decoders() -> bool:
+    """Import-guarded real-codec registration: when soundfile (libsndfile)
+    is importable, FLAC/OGG payloads decode through it. Returns True iff it
+    was found. Import-time side effect for the same reason as
+    imaging.register_optional_decoders — Spark UDF workers import this
+    module fresh and must self-register. The pure-python WAV decoder stays
+    authoritative for RIFF."""
+    try:
+        import soundfile as _sf
+    except ImportError:
+        return False
+    import io
+
+    def _sf_decode(payload: bytes) -> tuple[np.ndarray, int]:
+        data, rate = _sf.read(io.BytesIO(payload), dtype="int16", always_2d=True)
+        return data, int(rate)
+
+    for magic in (b"fLaC", b"OggS"):
+        AUDIO_DECODERS.setdefault(magic, _sf_decode)
+    return True
+
+
+SOUNDFILE_REGISTERED = register_optional_decoders()
+
+
 # ---------------------------------------------------------------- encoding
 
 

@@ -111,6 +111,44 @@ def decode_image(payload: bytes) -> np.ndarray:
     )
 
 
+def register_optional_decoders() -> bool:
+    """Import-guarded real-codec registration: when PIL is importable,
+    JPEG/PNG/GIF/WebP payloads decode through it (the reference's own
+    extension set, /root/reference/imgdupes:20-23, opened with PIL in
+    common/hashcache.py:47-51). Returns True iff PIL was found.
+
+    Called at module import time (below): Spark executes the mapInPandas
+    extractors in worker processes that import this module fresh, so
+    registration must be an import-time side effect — a driver-only call
+    would leave every executor without the codecs. setdefault keeps the
+    pure-numpy PPM/BMP decoders (and their pinned goldens) authoritative
+    for their magics."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return False
+    import io
+
+    def _pil(payload: bytes) -> np.ndarray:
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+
+    def _riff_webp(payload: bytes) -> np.ndarray:
+        # RIFF is also the WAV container magic (audio registry); only the
+        # WEBP form-type is an image
+        if payload[8:12] != b"WEBP":
+            raise ValueError(f"RIFF but not WEBP: {payload[8:12]!r}")
+        return _pil(payload)
+
+    for magic in (b"\xff\xd8\xff", b"\x89PNG", b"GIF8"):
+        DECODERS.setdefault(magic, _pil)
+    DECODERS.setdefault(b"RIFF", _riff_webp)
+    return True
+
+
+PIL_REGISTERED = register_optional_decoders()
+
+
 # ---------------------------------------------------------------- encoding
 
 

@@ -185,11 +185,14 @@ def repetition_profile(
     signal that needs a frequency mode, hence an explode + two-level agg
     instead of a per-row expression).
 
-    Scale shape: the explode side partial-aggregates (doc, token) map-side,
-    then (doc) — both shuffles carry ~one narrow row per doc; the re-join
-    onto the per-row expressions is a same-key join on ``id_col``, which AQE
-    plans as broadcast when the corpus slice is small and sort-merge
-    otherwise. No Python UDFs."""
+    Scale shape: the first shuffle — groupBy(doc, token) — carries one row
+    per distinct (doc, token) pair per map partition after the map-side
+    partial agg, i.e. ~distinct-tokens-per-doc rows, NOT one per doc;
+    linear in corpus size and narrow (id + token + count), but the bigger
+    of the two. The second shuffle (groupBy doc) is ~one narrow row per
+    doc. The re-join onto the per-row expressions is a same-key join on
+    ``id_col``, which AQE plans as broadcast when the corpus slice is small
+    and sort-merge otherwise. No Python UDFs."""
     c = F.col(content_col)
     base = docs.select(
         F.col(id_col),
