@@ -1,0 +1,114 @@
+"""Modality throughput bench (BASELINE.md "Modality throughput at 50k
+assets"): synthesize a planted audio corpus DISTRIBUTED (mapInPandas — no
+driver-side bytes), run audio_dedup end-to-end (decode WAV + chunked
+envelope hashes + LSH + CC), and verify EXACT planted recall/precision.
+
+Round-4 shape: 50k clips = 5k planted duplicate pairs (10k members) + 40k
+distinct singletons. Half the pairs are LONG clips (6 s) whose variant is a
+1 s FRONT TRIM — findable only by the chunked path (the round-3 whole-clip
+hash missed every one); the other half are SHORT clips (0.8 s, one
+whole-clip chunk) whose variant is a 0.6x re-gain — the legacy semantics.
+
+Env: SPARK_GRAFT_MODALITY_N (default 50_000), SPARK_GRAFT_CPUS (default 16).
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RATE = 16000
+
+
+def synth_assets(spark, n: int):
+    """Planted asset table, generated in executors. ids [0, 10k): pair
+    members (cluster = id//2); ids >= 10k: singletons."""
+    from pyspark.sql import functions as F
+
+    from imgdupes_spark.functions.audio import encode_wav
+    from imgdupes_spark.sources.multimodal import ASSET_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i < 10_000:
+                    base_seed, variant = i // 2, i % 2
+                else:
+                    base_seed, variant = 100_000 + i, 0
+                long_clip = base_seed % 2 == 0
+                r = np.random.default_rng(base_seed)
+                ns = int(6.0 * RATE) if long_clip else 13_000
+                env = np.repeat(r.uniform(0.1, 1.0, ns // 250 + 1), 250)[:ns]
+                clip = (r.standard_normal(ns) * env * 8000).astype(np.int16)
+                if variant == 1:
+                    if long_clip:
+                        clip = clip[RATE:]  # 1s front trim — chunk path only
+                    else:
+                        clip = (clip * 0.6).astype(np.int16)  # re-gain
+                payload = encode_wav(clip, RATE)
+                rows.append(
+                    (i, "audio", bytearray(payload), ("audio/wav", len(payload)))
+                )
+            out = pd.DataFrame(
+                rows, columns=["asset_id", "kind", "media", "meta"]
+            )
+            yield out
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        spark.range(n, numPartitions=n_parts)
+        .mapInPandas(gen, ASSET_SCHEMA)
+        .select(F.col("asset_id"), "kind", "media", "meta")
+    )
+
+
+def main() -> None:
+    from imgdupes_spark.config import DedupeConfig
+    from imgdupes_spark.operators.images import audio_dedup
+    from imgdupes_spark.session import get_spark
+
+    n = int(os.environ.get("SPARK_GRAFT_MODALITY_N", "50000"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    spark = get_spark(master=f"local[{cpus}]", app_name="modality_bench")
+    assets = synth_assets(spark, n).persist()
+    assets.count()  # materialize outside the timed window (corpus, not engine)
+    t0 = time.time()
+    out = audio_dedup(assets, DedupeConfig(hamming_d=4)).collect()
+    wall = time.time() - t0
+    got = {r.asset_id: r.cluster_id for r in out}
+    n_pairs = min(n, 10_000) // 2
+    planted_ok = sum(
+        1 for p in range(n_pairs)
+        if got.get(2 * p) is not None and got.get(2 * p) == got.get(2 * p + 1)
+    )
+    spurious = sum(1 for a in got if a >= 10_000)
+    result = {
+        "metric": "audio_dedup_clips_per_sec",
+        "value": round(n / wall, 1),
+        "unit": "clips/sec",
+        "n_assets": n,
+        "sec": round(wall, 1),
+        "planted_pairs_found": planted_ok,
+        "planted_pairs_total": n_pairs,
+        "spurious_members": spurious,
+        "n_clusters": len(set(got.values())),
+        "cpus": cpus,
+    }
+    assets.unpersist()
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
