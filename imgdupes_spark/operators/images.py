@@ -39,7 +39,10 @@ def perceptual_hash_dedup(
     from imgdupes_spark.operators.lsh import simhash_candidate_edges
 
     spark = feats.sparkSession
-    sig = feats.select(
+    # NULL hashes are quarantined assets (decode failures under
+    # on_error='quarantine' — see media_quarantine): never banded, never
+    # cluster members, mirroring the text path's NULL-simhash quarantine
+    sig = feats.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), F.col(hash_col).alias("simhash")
     )
     caches: list[DataFrame] = []
@@ -68,8 +71,26 @@ def perceptual_hash_dedup(
             c.unpersist()
 
 
+def media_quarantine(
+    feats: DataFrame, hash_col: str, id_col: str = "asset_id"
+) -> DataFrame:
+    """Assets whose payload failed to decode (NULL perceptual hash — the
+    engine's analogue of the reference's catch-all sentinel hash,
+    common/hashcache.py:48-53): explicit, out-of-band, never cluster
+    members — the media twin of the text path's fingerprints.quarantine.
+    ``feats`` is any extractor output run with on_error='quarantine'."""
+    return (
+        feats.filter(F.col(hash_col).isNull())
+        .select(F.col(id_col), F.lit("undecodable").alias("reason"))
+        .distinct()
+    )
+
+
 def image_dedup(
-    assets: DataFrame, cfg: DedupeConfig | None = None, fake: bool = False
+    assets: DataFrame,
+    cfg: DedupeConfig | None = None,
+    fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Cluster image assets whose pHash Hamming distance <= cfg.hamming_d.
 
@@ -81,12 +102,16 @@ def image_dedup(
     the text path). Exact byte-dup collapse is NOT applied first (image
     bytes differing by metadata still hash equal perceptually — the
     reference also groups purely on the perceptual hash).
+    ``on_error='quarantine'`` survives corrupt payloads (NULL-hash rows,
+    excluded from clustering; surface them via media_quarantine) — the
+    reference's sentinel-hash behavior, mandatory posture for a 10^12-file
+    run where one bad file must not fail the job.
     """
     from imgdupes_spark.sources.multimodal import extract_image_features
 
     cfg = cfg or DedupeConfig()
     feats = extract_image_features(
-        assets, fake=fake, hash_method=cfg.image_hash_method
+        assets, fake=fake, hash_method=cfg.image_hash_method, on_error=on_error
     ).persist()
     try:
         feats.count()  # eager: scanned by band generation and final expansion
@@ -101,6 +126,7 @@ def audio_dedup(
     chunk_s: float = 2.0,
     hop_s: float = 1.0,
     min_matched_chunks: int = 2,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Cluster audio assets (kind='audio') sharing >= min_matched_chunks
     near-duplicate envelope-hash chunks (functions/audio.audio_chunk_hashes,
@@ -122,7 +148,9 @@ def audio_dedup(
 
     cfg = cfg or DedupeConfig()
     caches: list[DataFrame] = []
-    feats = extract_audio_chunk_features(assets, chunk_s, hop_s).persist()
+    feats = extract_audio_chunk_features(
+        assets, chunk_s, hop_s, on_error=on_error
+    ).persist()
     try:
         return partwise_dedup(
             feats,

@@ -66,7 +66,10 @@ def _check_node_collisions(nodes: DataFrame, op: str) -> None:
 
 
 def cross_modal_matches(
-    assets: DataFrame, cfg: DedupeConfig | None = None, every_s: float = 1.0
+    assets: DataFrame,
+    cfg: DedupeConfig | None = None,
+    every_s: float = 1.0,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Images that appear as frames of videos (thumbnails, extracted stills,
     cover art): image pHashes and sampled-frame pHashes are bit-comparable
@@ -98,11 +101,19 @@ def cross_modal_matches(
     pins: list[DataFrame] = []
     caches: list[DataFrame] = []
     try:
-        img_feats = extract_image_features(
-            assets, hash_method=cfg.image_hash_method
-        ).persist()
+        img_feats = (
+            extract_image_features(
+                assets, hash_method=cfg.image_hash_method, on_error=on_error
+            )
+            .filter(F.col("phash").isNotNull())  # quarantined decode failures
+            .persist()
+        )
         pins.append(img_feats)
-        vid_feats = extract_video_features(assets, every_s=every_s).persist()
+        vid_feats = (
+            extract_video_features(assets, every_s=every_s, on_error=on_error)
+            .filter(F.col("phash").isNotNull())
+            .persist()
+        )
         pins.append(vid_feats)
         # node map: (node_id, kind, asset_id, frame_idx) — a narrow (~25-byte)
         # projection of the cached features; collision-guarded across BOTH
@@ -178,6 +189,7 @@ def video_dedup(
     cfg: DedupeConfig | None = None,
     every_s: float = 1.0,
     min_matched_frames: int = 3,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Cluster videos sharing >= min_matched_frames near-duplicate sampled
     frames (frame pHash Hamming <= cfg.hamming_d).
@@ -193,7 +205,9 @@ def video_dedup(
 
     cfg = cfg or DedupeConfig()
     caches: list[DataFrame] = []
-    feats = extract_video_features(assets, every_s=every_s).persist()
+    feats = extract_video_features(
+        assets, every_s=every_s, on_error=on_error
+    ).persist()
     try:
         return partwise_dedup(
             feats,
@@ -246,6 +260,11 @@ def partwise_dedup(
     from imgdupes_spark.operators.lsh import simhash_candidate_edges
 
     spark = feats.sparkSession
+    # NULL-hash rows are quarantine sentinels (decode failures under
+    # on_error='quarantine', part idx -1): excluded from banding, node ids,
+    # part counts, and clustering — operators.images.media_quarantine
+    # surfaces them
+    feats = feats.filter(F.col(hash_col).isNotNull())
     node_id = F.xxhash64(F.lit(salt), F.col("asset_id"), F.col(part_col))
     nodes = feats.select(node_id.alias("node_id"), "asset_id", part_col)
     _check_node_collisions(nodes, op)

@@ -71,20 +71,35 @@ def _real_decode(payload: bytes, hash_method: str = "phash_org") -> tuple[int, i
     return w, h, c, HASH_METHODS[hash_method](img)
 
 
+# Decode-failure policy shared by every extractor. "raise" (default) is
+# strict: a malformed payload fails the job loudly. "quarantine" is the
+# reference's behavior — imgdupes catches ANY decode error and emits an
+# out-of-band sentinel hash so one corrupt file never kills the run
+# (common/hashcache.py:48-53, hsh = [2]*bits — a catch-all except). Here the
+# sentinel is a NULL hash (the text path's quarantine convention):
+# quarantined assets are never cluster members and are surfaced by
+# operators.images.media_quarantine.
+
+
 def extract_image_features(
-    assets: DataFrame, fake: bool = False, hash_method: str = "phash_org"
+    assets: DataFrame,
+    fake: bool = False,
+    hash_method: str = "phash_org",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode + feature-extract images: one Arrow batch at a time through
     mapInPandas, binary payloads never leave the executor as Python scalars
     row-by-row on the driver. NULL payloads keep the fake path's sentinel
-    behavior under fake=True and decode as a ValueError under fake=False —
-    filter them upstream (resize_plan exposes n_bytes for that).
+    behavior under fake=True and decode as a ValueError under fake=False.
 
     ``hash_method`` selects the perceptual hash family (phash_org default;
-    phash/ahash/dhash/whash per the reference CLI)."""
+    phash/ahash/dhash/whash per the reference CLI). ``on_error`` is the
+    decode-failure policy (module comment above): "quarantine" emits a
+    NULL-featured row for undecodable payloads instead of failing the job."""
     from imgdupes_spark.functions.imaging import HASH_METHODS
 
     assert hash_method in HASH_METHODS, hash_method
+    assert on_error in ("raise", "quarantine"), on_error
     if fake:
         decode = _fake_decode
     else:
@@ -93,11 +108,27 @@ def extract_image_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode(m) for m in pdf["media"]]
-            out = pd.DataFrame(feats, columns=["width", "height", "channels", "phash"])
-            out.insert(0, "asset_id", pdf["asset_id"].to_numpy())
-            out["phash"] = out["phash"].astype("int64")
-            yield out
+            feats = []
+            for m in pdf["media"]:
+                try:
+                    feats.append(decode(m))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    feats.append((None, None, None, None))
+            # columns built via pd.array, NEVER pd.DataFrame row coercion: a
+            # single None in a batch coerces an int column to float64 and
+            # silently ROUNDS 64-bit hashes (53-bit mantissa) — pd.array
+            # keeps nullable Int64 exact
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "width": pd.array([f[0] for f in feats], dtype="Int32"),
+                    "height": pd.array([f[1] for f in feats], dtype="Int32"),
+                    "channels": pd.array([f[2] for f in feats], dtype="Int32"),
+                    "phash": pd.array([f[3] for f in feats], dtype="Int64"),
+                }
+            )
 
     images = assets.filter(F.col("kind") == "image").select("asset_id", "media")
     return images.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
@@ -108,27 +139,40 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
-def extract_audio_features(assets: DataFrame) -> DataFrame:
+def extract_audio_features(assets: DataFrame, on_error: str = "raise") -> DataFrame:
     """Decode + feature-extract audio clips (kind='audio'): RIFF/WAVE PCM via
     functions/audio.py, 64-bit energy-envelope hash per clip. Same Arrow
     mapInPandas shape as extract_image_features — payloads stay executor-side,
-    unregistered containers raise NotImplementedError."""
+    unregistered containers raise NotImplementedError (or quarantine to a
+    NULL-featured row under on_error='quarantine')."""
     from imgdupes_spark.functions.audio import audio_hash64, decode_audio
+
+    assert on_error in ("raise", "quarantine"), on_error
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for m in pdf["media"]:
-                samples, rate = decode_audio(m or b"")
-                feats.append(
-                    (rate, samples.shape[0], samples.shape[1], audio_hash64(samples))
-                )
-            out = pd.DataFrame(
-                feats, columns=["sample_rate", "n_samples", "channels", "ahash"]
+                try:
+                    samples, rate = decode_audio(m or b"")
+                    feats.append(
+                        (rate, samples.shape[0], samples.shape[1], audio_hash64(samples))
+                    )
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    feats.append((None, None, None, None))
+            # pd.array columns: see extract_image_features — None + int rows
+            # through pd.DataFrame coerce to float64 and round 64-bit hashes
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "sample_rate": pd.array([f[0] for f in feats], dtype="Int32"),
+                    "n_samples": pd.array([f[1] for f in feats], dtype="Int64"),
+                    "channels": pd.array([f[2] for f in feats], dtype="Int32"),
+                    "ahash": pd.array([f[3] for f in feats], dtype="Int64"),
+                }
             )
-            out.insert(0, "asset_id", pdf["asset_id"].to_numpy())
-            out["ahash"] = out["ahash"].astype("int64")
-            yield out
 
     clips = assets.filter(F.col("kind") == "audio").select("asset_id", "media")
     return clips.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
@@ -138,26 +182,46 @@ AUDIO_CHUNK_SCHEMA = "asset_id long, chunk_idx int, chash long"
 
 
 def extract_audio_chunk_features(
-    assets: DataFrame, chunk_s: float = 2.0, hop_s: float = 1.0
+    assets: DataFrame,
+    chunk_s: float = 2.0,
+    hop_s: float = 1.0,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode + chunk + fingerprint audio clips (kind='audio'): one output
     row per overlapping envelope-hash chunk (functions/audio.
     audio_chunk_hashes) — the audio analogue of extract_video_features'
     frame rows. Clips not longer than one chunk emit a single whole-clip
     row bit-identical to extract_audio_features' ahash. Same Arrow
-    mapInPandas contract; rows are 8-byte id + 4-byte idx + 8-byte hash."""
+    mapInPandas contract; rows are 8-byte id + 4-byte idx + 8-byte hash.
+    Under on_error='quarantine' an undecodable clip emits ONE sentinel row
+    (chunk_idx=-1, NULL hash) so its identity survives for the quarantine
+    report without ever banding."""
     from imgdupes_spark.functions.audio import audio_chunk_hashes, decode_audio
+
+    assert on_error in ("raise", "quarantine"), on_error
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for aid, m in zip(pdf["asset_id"], pdf["media"]):
-                samples, rate = decode_audio(m or b"")
+                try:
+                    samples, rate = decode_audio(m or b"")
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    rows.append((int(aid), -1, None))
+                    continue
                 for idx, h in audio_chunk_hashes(samples, rate, chunk_s, hop_s):
                     rows.append((int(aid), idx, h))
-            out = pd.DataFrame(rows, columns=["asset_id", "chunk_idx", "chash"])
-            out["chash"] = out["chash"].astype("int64")
-            yield out
+            # pd.array columns: see extract_image_features — None + int rows
+            # through pd.DataFrame coerce to float64 and round 64-bit hashes
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array([r[0] for r in rows], dtype="int64"),
+                    "chunk_idx": pd.array([r[1] for r in rows], dtype="int32"),
+                    "chash": pd.array([r[2] for r in rows], dtype="Int64"),
+                }
+            )
 
     clips = assets.filter(F.col("kind") == "audio").select("asset_id", "media")
     return clips.mapInPandas(run, AUDIO_CHUNK_SCHEMA)
@@ -189,28 +253,46 @@ def frame_sample_plan(assets: DataFrame, every_s: float = 1.0) -> DataFrame:
 VIDEO_FEATURES_SCHEMA = "asset_id long, frame_idx int, phash long"
 
 
-def extract_video_features(assets: DataFrame, every_s: float = 1.0) -> DataFrame:
+def extract_video_features(
+    assets: DataFrame, every_s: float = 1.0, on_error: str = "raise"
+) -> DataFrame:
     """Decode + frame-sample + fingerprint videos (kind='video'): Y4M via
     functions/video.py, one output row per sampled frame with its luma
     pHash. Low-information frames (flat/black) are skipped inside
     sample_frames — they are boilerplate shared across unrelated videos.
-    Same Arrow mapInPandas contract as the image/audio extractors."""
+    Same Arrow mapInPandas contract as the image/audio extractors; under
+    on_error='quarantine' an undecodable video emits ONE sentinel row
+    (frame_idx=-1, NULL hash)."""
     from imgdupes_spark.functions.video import (
         decode_video,
         frame_phash64,
         sample_frames,
     )
 
+    assert on_error in ("raise", "quarantine"), on_error
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for aid, m in zip(pdf["asset_id"], pdf["media"]):
-                frames, fps = decode_video(m or b"")
+                try:
+                    frames, fps = decode_video(m or b"")
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    rows.append((int(aid), -1, None))
+                    continue
                 for idx, luma in sample_frames(frames, fps, every_s):
                     rows.append((int(aid), idx, frame_phash64(luma)))
-            out = pd.DataFrame(rows, columns=["asset_id", "frame_idx", "phash"])
-            out["phash"] = out["phash"].astype("int64")
-            yield out
+            # pd.array columns: see extract_image_features — None + int rows
+            # through pd.DataFrame coerce to float64 and round 64-bit hashes
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array([r[0] for r in rows], dtype="int64"),
+                    "frame_idx": pd.array([r[1] for r in rows], dtype="int32"),
+                    "phash": pd.array([r[2] for r in rows], dtype="Int64"),
+                }
+            )
 
     clips = assets.filter(F.col("kind") == "video").select("asset_id", "media")
     return clips.mapInPandas(run, VIDEO_FEATURES_SCHEMA)

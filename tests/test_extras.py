@@ -205,3 +205,52 @@ def test_ngram_short_docs_no_crash(spark):
         assert by_t[t].jabc == 0.0
     assert by_t["a b c"].g3 == ["a b c"]
     assert by_t["a b c"].jself == 1.0
+
+
+def test_media_decode_quarantine(spark):
+    """Reference parity (common/hashcache.py:48-53 catch-all sentinel hash):
+    under on_error='quarantine' a corrupt payload never fails the job — the
+    asset lands in media_quarantine and never in a cluster; the strict
+    default still raises. One bad file must not kill a 10^12-file run."""
+    import numpy as np
+    import pytest
+
+    from imgdupes_spark.config import DedupeConfig
+    from imgdupes_spark.functions.audio import encode_wav
+    from imgdupes_spark.functions.imaging import encode_ppm
+    from imgdupes_spark.operators.images import audio_dedup, image_dedup, media_quarantine
+    from imgdupes_spark.sources.multimodal import (
+        ASSET_SCHEMA,
+        extract_audio_chunk_features,
+        extract_image_features,
+    )
+
+    r = np.random.default_rng(3)
+    img = r.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+    clip = (r.standard_normal(13000) * 8000).astype(np.int16)
+    rows = [
+        (1, "image", bytearray(encode_ppm(img)), ("image/x-test", 1)),
+        (2, "image", bytearray(encode_ppm(img)), ("image/x-test", 1)),  # dup of 1
+        (3, "image", bytearray(b"\xff\xd8\xffcorrupt jpeg"), ("image/jpeg", 1)),
+        (4, "audio", bytearray(encode_wav(clip)), ("audio/wav", 1)),
+        (5, "audio", bytearray(encode_wav(clip)), ("audio/wav", 1)),  # dup of 4
+        (6, "audio", bytearray(b"RIFFxxxxWAVE"), ("audio/wav", 1)),  # truncated
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    cfg = DedupeConfig(hamming_d=4)
+
+    # strict default fails loudly
+    with pytest.raises(Exception):
+        image_dedup(assets, cfg).collect()
+
+    out_img = image_dedup(assets, cfg, on_error="quarantine").collect()
+    assert {r.asset_id for r in out_img} == {1, 2}
+    ifeats = extract_image_features(assets, on_error="quarantine")
+    q = media_quarantine(ifeats, "phash")
+    assert [(r.asset_id, r.reason) for r in q.collect()] == [(3, "undecodable")]
+
+    out_aud = audio_dedup(assets, cfg, on_error="quarantine").collect()
+    assert {r.asset_id for r in out_aud} == {4, 5}
+    afeats = extract_audio_chunk_features(assets, on_error="quarantine")
+    qa = media_quarantine(afeats, "chash")
+    assert [(r.asset_id, r.reason) for r in qa.collect()] == [(6, "undecodable")]
