@@ -245,3 +245,62 @@ def stream_arrival_stats(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_decontamination_gate(
+    spark: SparkSession,
+    source_dir: str,
+    bench_grams,
+    target_dir: str,
+    checkpoint_dir: str,
+    ngram_k: int = 8,
+    min_hits: int = 5,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming benchmark-decontamination gate (sixth streaming operator):
+    every arriving doc is scored against the STATIC benchmark gram set
+    (operators/decontaminate.benchmark_ngrams output) and lands append-only
+    with its contamination report — block or audit contaminated training
+    data AT INGEST instead of in a later batch sweep.
+
+    Plan shape per micro-batch: the gram set is tiny relative to the corpus
+    (eval suites vs 10^12 files) and is BROADCAST; the batch side explodes
+    its per-doc distinct grams map-side and folds into one groupBy(doc)
+    within the batch — the document stream is never shuffled against the
+    suite, the same economics as the batch decontaminate operator.
+    foreachBatch is at-least-once on retry; report rows are idempotent
+    facts keyed by (repo, path, commit), dedupe on read as elsewhere.
+    """
+    from pyspark.sql import functions as F
+
+    from imgdupes_spark.operators.decontaminate import contamination_report
+
+    corpus_schema = ", ".join(f"{c} string" for c in CORPUS_COLUMNS)
+    stream = (
+        spark.readStream.schema(corpus_schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(source_dir)
+    )
+
+    def _score_batch(batch, _epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        keyed = batch.withColumn("__cid", F.xxhash64("repo", "path", "commit"))
+        rep = contamination_report(
+            keyed, bench_grams, ngram_k, min_hits,
+            id_col="__cid", text_col="content",
+        )
+        (
+            keyed.select("repo", "path", "commit", "lang", "__cid")
+            .join(rep, "__cid")
+            .drop("__cid")
+            .write.mode("append")
+            .parquet(target_dir)
+        )
+
+    writer = stream.writeStream.foreachBatch(_score_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

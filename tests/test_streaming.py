@@ -208,3 +208,47 @@ def test_stream_arrival_stats_windows_and_watermark(spark, cfg, tmp_path):
     # the first window [12:00,12:10) holds rows at +0 and +7 minutes
     first = [r for r in got if r.win.start == base]
     assert sum(r.n_files for r in first) == 2
+
+
+def test_stream_decontamination_gate(spark, cfg, tmp_path):
+    """Sixth streaming op: arriving docs are scored against the broadcast
+    benchmark gram set per micro-batch; contaminated docs are flagged at
+    ingest; restart drains only new files (exactly-once intake)."""
+    import pandas as pd
+
+    from imgdupes_spark.operators.decontaminate import benchmark_ngrams
+    from imgdupes_spark.streaming.ingest import stream_decontamination_gate
+
+    src = str(tmp_path / "in6")
+    dst = str(tmp_path / "out6")
+    ckpt = str(tmp_path / "ck6")
+
+    secret = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    bench = spark.createDataFrame([(secret,)], "text string")
+    grams = benchmark_ngrams(bench, 8, text_col="text")
+
+    def rows(items):
+        return pd.DataFrame(
+            [
+                {"repo": "r", "path": p, "commit": "c", "lang": "txt", "content": t}
+                for p, t in items
+            ]
+        )
+
+    wave = rows(
+        [
+            ("leak", "prefix words then " + secret + " and a suffix tail here"),
+            ("clean", "a completely unrelated document about spark physical plans"),
+        ]
+    )
+    spark.createDataFrame(wave).write.mode("append").parquet(src)
+    stream_decontamination_gate(spark, src, grams, dst, ckpt, ngram_k=8, min_hits=5).awaitTermination(120)
+    got = {r.path: r.contaminated for r in spark.read.parquet(dst).collect()}
+    assert got == {"leak": True, "clean": False}, got
+
+    # restart: only the new file is scored
+    spark.createDataFrame(rows([("clean2", "another unrelated doc with its own words entirely")])).write.mode("append").parquet(src)
+    stream_decontamination_gate(spark, src, grams, dst, ckpt, ngram_k=8, min_hits=5).awaitTermination(120)
+    out = spark.read.parquet(dst)
+    assert out.count() == 3
+    assert out.filter("contaminated").count() == 1
