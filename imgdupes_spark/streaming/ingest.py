@@ -304,3 +304,97 @@ def stream_decontamination_gate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_selfdedup_gate(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    admitted_dir: str,
+    checkpoint_dir: str,
+    cfg: DedupeConfig,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Self-accumulating streaming near-dup gate (seventh streaming
+    operator): each micro-batch is probed against the signature index of
+    everything PREVIOUSLY ADMITTED by this stream — not a static corpus —
+    then the batch's novel docs are admitted and their signatures appended
+    to the index. Continuous dedup-at-ingest: the n-th arrival of a
+    boilerplate file is rejected because the 1st was admitted.
+
+    Ordering contract: within a micro-batch the exact sha256 collapse keeps
+    the min-doc_id representative (deterministic); near-dup pairs WITHIN one
+    batch are both admitted (the index grows per batch boundary, matching
+    the batch engine's cluster semantics where both would simply cluster
+    later) — the gate's job is bounding unbounded re-arrival, not replacing
+    the batch dedup. Probe economics per batch: the arrivals are the small
+    broadcast side (query_probe), the accumulated index is scanned, never
+    shuffled. foreachBatch is at-least-once on retry; both sinks are
+    idempotent-on-read by (repo, path, commit) like the batch checkpoint
+    convention (plans/pipeline.py).
+    """
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from imgdupes_spark.operators.query import query_probe
+
+    corpus_schema = ", ".join(f"{c} string" for c in CORPUS_COLUMNS)
+    stream = (
+        spark.readStream.schema(corpus_schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(source_dir)
+    )
+    keys = ["repo", "path", "commit"]
+
+    def _index_exists() -> bool:
+        return os.path.isdir(index_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(index_dir)
+        )
+
+    def _gate_batch(batch, _epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        # in-batch exact collapse first: one deterministic representative
+        # per sha256 (min doc_id, identity tie-break)
+        sig = signatures(batch, cfg)
+        w = Window.partitionBy("sha256").orderBy("doc_id", *keys)
+        reps = (
+            sig.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if _index_exists():
+            index = spark.read.parquet(index_dir)
+            # query_probe identifies probes by (query_repo, query_path) —
+            # the reference's probe identity; sufficient here because a
+            # micro-batch carries one commit per (repo, path)
+            hits = (
+                query_probe(index, batch, cfg)
+                .select("query_repo", "query_path")
+                .distinct()
+                .withColumnRenamed("query_repo", "repo")
+                .withColumnRenamed("query_path", "path")
+            )
+            novel = reps.join(hits, ["repo", "path"], "left_anti")
+        else:
+            novel = reps
+        # persist the batch result once: both sinks below consume it, and
+        # the second must not re-probe (the first append would make its
+        # own rows "already indexed")
+        novel = novel.persist()
+        try:
+            novel.select(*keys, "sha256", "doc_id").write.mode("append").parquet(
+                admitted_dir
+            )
+            novel.write.mode("append").parquet(index_dir)
+        finally:
+            novel.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_gate_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

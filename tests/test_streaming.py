@@ -252,3 +252,58 @@ def test_stream_decontamination_gate(spark, cfg, tmp_path):
     out = spark.read.parquet(dst)
     assert out.count() == 3
     assert out.filter("contaminated").count() == 1
+
+
+def test_stream_selfdedup_gate_accumulates(spark, cfg, tmp_path):
+    """Seventh streaming op: the gate probes arrivals against the index of
+    its OWN previously-admitted docs — re-arrivals (exact and near-dup) of
+    an earlier admission are rejected wave after wave; novel docs grow the
+    index; in-batch exact dups collapse to one representative."""
+    import pandas as pd
+
+    from imgdupes_spark.streaming.ingest import stream_selfdedup_gate
+
+    src = str(tmp_path / "in7")
+    idx = str(tmp_path / "idx7")
+    adm = str(tmp_path / "adm7")
+    ckpt = str(tmp_path / "ck7")
+
+    def rows(items):
+        return pd.DataFrame(
+            [
+                {"repo": "r", "path": p, "commit": "c", "lang": "txt", "content": t}
+                for p, t in items
+            ]
+        )
+
+    boiler = "generated license header apache version two do not edit this file"
+    wave1 = rows(
+        [
+            ("lic1", boiler),
+            ("lic1_copy", boiler),  # in-batch exact dup -> one representative
+            ("uniq1", "a first genuinely novel document body with original words"),
+        ]
+    )
+    spark.createDataFrame(wave1).write.mode("append").parquet(src)
+    stream_selfdedup_gate(spark, src, idx, adm, ckpt, cfg).awaitTermination(180)
+    adm1 = {r.path for r in spark.read.parquet(adm).collect()}
+    assert len(adm1) == 2 and "uniq1" in adm1 and len(adm1 & {"lic1", "lic1_copy"}) == 1
+
+    # wave 2: exact re-arrival + near-dup of the boilerplate + one novel doc
+    wave2 = rows(
+        [
+            ("lic_again", boiler),
+            ("lic_near", boiler + " trailing tweak"),
+            ("uniq2", "a second entirely different document with its own content"),
+        ]
+    )
+    spark.createDataFrame(wave2).write.mode("append").parquet(src)
+    stream_selfdedup_gate(spark, src, idx, adm, ckpt, cfg).awaitTermination(180)
+    adm2 = {r.path for r in spark.read.parquet(adm).collect()}
+    assert adm2 == adm1 | {"uniq2"}, adm2
+
+    # wave 3: yet another exact re-arrival stays rejected (index persisted)
+    spark.createDataFrame(rows([("lic_third", boiler)])).write.mode("append").parquet(src)
+    stream_selfdedup_gate(spark, src, idx, adm, ckpt, cfg).awaitTermination(180)
+    adm3 = {r.path for r in spark.read.parquet(adm).collect()}
+    assert adm3 == adm2, adm3
