@@ -378,6 +378,24 @@ def _q_probe_exact(spark, sf_dir):
     )
 
 
+def _q_kept_corpus(spark, sf_dir):
+    """The Spark-native S8 (deduped-corpus materializer, operators/clusters.
+    dedupe_corpus) in its exact-only configuration: the FULL engine path
+    (signatures -> dedupe_members -> delete_plan victims -> anti-join)
+    producing the kept training table — every exact-dup cluster keeps its
+    rank-1 member (n_bytes desc, repo/path tie-break), non-clustered rows
+    pass through. SQL-expressible because exact clusters are text-equality
+    groups and the ordering keys are plain columns."""
+    from imgdupes_spark.functions.fingerprints import signatures
+    from imgdupes_spark.operators.clusters import dedupe_corpus, dedupe_members
+
+    cfg = DedupeConfig(passes=("exact",), containment_enabled=False)
+    corpus = _corpus_shape(_dup_docs(_prep(spark), sf_dir))
+    sig = signatures(corpus, cfg)
+    members = dedupe_members(sig, cfg)
+    return dedupe_corpus(corpus, members, cfg).select("repo", "path")
+
+
 def _q_repetition_profile(spark, sf_dir):
     """Gopher-style repetition/boilerplate signals per doc: duplicate-line
     fraction (row count + chars), type/token ratio, top-token share — the
@@ -616,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "repetition_profile": _q_repetition_profile,
         "probe_exact": _q_probe_exact,
+        "kept_corpus": _q_kept_corpus,
         # value-oracled via planted-ground-truth SQL (the kernels are not
         # SQL-expressible, the fixtures' expected outputs are):
         "image_dedup": _q_image_dedup,
@@ -904,6 +923,19 @@ def oracle_sql() -> dict[str, str]:
               round(CAST(coalesce(topc, 0) AS DOUBLE)
                     / greatest(len(toks), 1), 6) AS top_token_frac
             FROM t LEFT JOIN topt USING (doc_id)
+        """,
+        "kept_corpus": f"""
+            WITH {_CORPUS_CTE},
+            m AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY text
+                         ORDER BY strlen(text) DESC, source ASC,
+                                  'doc/' || CAST(doc_id AS VARCHAR) ASC) AS rn,
+                     count(*) OVER (PARTITION BY text) AS n
+              FROM corpus
+            )
+            SELECT source AS repo, 'doc/' || CAST(doc_id AS VARCHAR) AS path
+            FROM m WHERE n = 1 OR rn = 1
         """,
         # Planted-ground-truth value oracles for the media modalities: the
         # perceptual kernels are not SQL-expressible, but each fixture's

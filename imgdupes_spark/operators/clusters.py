@@ -222,6 +222,49 @@ def delete_plan(
     ).select("cluster_id", "doc_id", "repo", "path", "set_rank", "action", "n_bytes")
 
 
+def dedupe_corpus(
+    corpus: DataFrame,
+    members: DataFrame,
+    cfg: DedupeConfig,
+    keep_expr=None,
+    mega_cluster_rows: int | None = MEGA_CLUSTER_ROWS,
+) -> DataFrame:
+    """The Spark-native S8: materialize the DEDUPED corpus — every
+    delete-plan victim removed, keepers and non-clustered rows untouched.
+    The reference performs S8 as an ``os.remove`` per victim file
+    (common/imagededuper.py:549-554); a table-valued engine emits the kept
+    table instead — same effect, reversible, and the actual training-data
+    output a pretraining pipeline consumes.
+
+    corpus   (repo, path, commit, lang, content) rows (the same table the
+             signatures/members derive from).
+    members  dedupe_members output (doc-level cluster assignments).
+
+    Plan shape: victims are projected to bare doc_ids (8 or 16 bytes) and
+    anti-joined against the corpus keyed by the same doc_id_col(cfg). Note
+    the honest at-scale cost: materializing the kept corpus REWRITES the
+    corpus by definition, and unless the victim set broadcasts (AQE decides)
+    the anti-join shuffles content-bearing rows once. When only membership
+    is needed, keep the delete PLAN and filter at read time (the loader's
+    scope anti-join) — this materializer is for producing the final
+    training table.
+    """
+    from imgdupes_spark.functions.fingerprints import doc_id_col
+
+    victims = (
+        delete_plan(
+            members, cfg, keep_expr=keep_expr, mega_cluster_rows=mega_cluster_rows
+        )
+        .filter(F.col("action") == "delete")
+        .select(F.col("doc_id").alias("__did"))
+    )
+    return (
+        corpus.withColumn("__did", doc_id_col(cfg))
+        .join(victims, ["__did"], "left_anti")
+        .drop("__did")
+    )
+
+
 def summarize(members: DataFrame) -> DataFrame:
     """Reference summarize (common/imagededuper.py:386-400): duplicate-file
     count, set count, total bytes over ALL members of multi-member sets —

@@ -188,3 +188,37 @@ def test_summarize_and_cross_repo(spark, cfg, small_corpus):
     flagged = cross_repo_flag(members)
     multi = flagged.filter("cross_repo").select("cluster_id").distinct().count()
     assert 0 < multi <= s.n_sets
+
+
+def test_dedupe_corpus_materializer(spark, cfg, small_corpus):
+    """The Spark-native S8: kept corpus = corpus minus delete-plan victims;
+    non-clustered rows pass through; keep_expr re-picks the keepers."""
+    from pyspark.sql import functions as F
+
+    from imgdupes_spark.functions.fingerprints import signatures
+    from imgdupes_spark.operators.clusters import (
+        dedupe_corpus,
+        dedupe_members,
+        delete_plan,
+    )
+
+    sig = signatures(small_corpus, cfg)
+    members = dedupe_members(sig, cfg, corpus=small_corpus)
+    plan = delete_plan(members, cfg)
+    n_victims = plan.filter("action = 'delete'").count()
+    assert n_victims > 0
+
+    kept = dedupe_corpus(small_corpus, members, cfg)
+    assert kept.count() == small_corpus.count() - n_victims
+    # no victim identity survives; every keeper does
+    victims = plan.filter("action = 'delete'").select("repo", "path")
+    assert kept.join(victims, ["repo", "path"], "left_semi").count() == 0
+    keepers = plan.filter("action = 'keep'").select("repo", "path")
+    assert kept.join(keepers, ["repo", "path"], "left_semi").count() == keepers.count()
+
+    # keep_expr pins a different keeper -> different kept set, same size
+    some_repo = members.select("repo").first().repo
+    kept2 = dedupe_corpus(
+        small_corpus, members, cfg, keep_expr=F.col("repo") == some_repo
+    )
+    assert kept2.count() == kept.count()
