@@ -13,6 +13,7 @@ and the SQL string (the driver hashes values under sorted column names).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -408,14 +409,43 @@ def _q_repetition_profile(spark, sf_dir):
     return repetition_profile(d, id_col="doc_id", content_col="text")
 
 
-# ---- rows-only (non-SQL-expressible: xxhash64 rolling fold) ----
-
-
 def _q_doc_fingerprints(spark, sf_dir):
     from imgdupes_spark.functions.text import doc_fingerprint_col
 
     d = _docs(_prep(spark), sf_dir)
     return d.select("doc_id", doc_fingerprint_col(F.col("text")).alias("fingerprint"))
+
+
+def _doc_fingerprints_oracle() -> str | None:
+    """Planted-ground-truth VALUES oracle for doc_fingerprints (the same
+    device the media entries use): the rolling xxhash64 fold is
+    deterministic, so the expected fingerprint of every sf0.01 fixture doc
+    is computed here by the pure-python twin (oracle.doc_fingerprint — the
+    spec-level XXH64 reimplementation, fully Spark-independent) and embedded
+    as a literal. Returns None (entry stays rows-only) if the fixture is
+    unreadable in this environment."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        import pyarrow.parquet as pq
+
+        from imgdupes_spark.oracle import doc_fingerprint
+
+        tab = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        rows = ", ".join(
+            f"({did}, {doc_fingerprint(txt)})"
+            for did, txt in zip(
+                tab.column("doc_id").to_pylist(), tab.column("text").to_pylist()
+            )
+        )
+    except Exception:
+        return None
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(fingerprint AS BIGINT) AS fingerprint
+        FROM (VALUES {rows}) AS t(doc_id, fingerprint)
+    """
 
 
 def _q_image_dedup(spark, sf_dir):
@@ -641,8 +671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dedup": _q_audio_dedup,
         "video_dedup": _q_video_dedup,
         "cross_modal": _q_cross_modal,
-        # rows-only (no oracle_sql entry — xxhash64 rolling fold has no
-        # DuckDB twin; value-tested against a pure-python twin in pytest):
+        # value-oracled via the pure-python xxh64 twin embedded as a VALUES
+        # literal (_doc_fingerprints_oracle); falls back to rows-only when
+        # the fixture parquet is unreadable:
         "doc_fingerprints": _q_doc_fingerprints,
     }
 
@@ -666,6 +697,14 @@ _KNN_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _static_oracle_sql()
+    fp_sql = _doc_fingerprints_oracle()
+    if fp_sql is not None:
+        out["doc_fingerprints"] = fp_sql
+    return out
+
+
+def _static_oracle_sql() -> dict[str, str]:
     return {
         "exact_dup_clusters": f"""
             WITH {_CORPUS_CTE}

@@ -28,7 +28,7 @@ import numpy as np
 
 from imgdupes_spark.config import DedupeConfig
 from imgdupes_spark.functions import kernels
-from imgdupes_spark.xxh64 import xxh64_str
+from imgdupes_spark.xxh64 import xxh64_long, xxh64_str
 
 _TOKEN_RE = re.compile(r"[^0-9a-z]+")
 
@@ -45,6 +45,20 @@ def line_units(content: str) -> list[str]:
     """Same spec as fingerprints.lines_col: \\s-trimmed non-empty lines, case
     preserved (trim parity incl. tabs pinned by test_shingle_unit_line_family)."""
     return [ln for ln in (x.strip(_WS) for x in content.split("\n")) if ln]
+
+
+def doc_fingerprint(content: str) -> int:
+    """Pure-Python twin of functions/text.doc_fingerprint_col: the 64-bit
+    rolling fold ``acc = xxhash64(acc, xxhash64(token))`` over the doc's
+    tokens, acc starting at 0 (so a token-free doc fingerprints to 0).
+    Spark's two-argument xxhash64 chains seeds (see xxh64.xxh64_long), so
+    each step is two single-long hashes. Bit-equality with the Spark column
+    is pinned by tests/test_extras.py and serves as the value oracle for the
+    ``doc_fingerprints`` driver entry (VALUES literal in oracle_sql())."""
+    acc = 0
+    for t in tokenize(content):
+        acc = xxh64_long(xxh64_str(t, 42), xxh64_long(acc, 42))
+    return acc
 
 
 def fingerprint(content: str, cfg: DedupeConfig) -> tuple[int | None, np.ndarray | None]:

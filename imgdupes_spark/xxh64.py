@@ -72,3 +72,15 @@ def xxh64_str(s: str, seed: int = 42) -> int:
     ``xxhash64(lit(s))``."""
     u = xxh64(s.encode("utf-8"), seed)
     return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def xxh64_long(v: int, seed: int = 42) -> int:
+    """Signed-int64 XXH64 of one long's 8 little-endian bytes — equals
+    Spark's ``xxhash64`` over a single LongType column (Spark's hashLong
+    fast path is defined on exactly these bytes). Spark's multi-argument
+    ``xxhash64(a, b, ...)`` CHAINS seeds rather than concatenating bytes:
+    ``h = 42; h = hashLong(a, h); h = hashLong(b, h); ...`` — callers
+    replay that chain with repeated ``xxh64_long`` calls (equality with
+    Spark pinned by tests/test_xxh64.py)."""
+    u = xxh64((v & _MASK).to_bytes(8, "little"), seed & _MASK)
+    return u - (1 << 64) if u >= (1 << 63) else u

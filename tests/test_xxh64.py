@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from imgdupes_spark.xxh64 import xxh64_str
+from imgdupes_spark.xxh64 import xxh64_long, xxh64_str
 
 
 def test_matches_spark_xxhash64(spark):
@@ -24,3 +24,21 @@ def test_matches_spark_xxhash64(spark):
 def test_seed_and_determinism():
     assert xxh64_str("hello") == -4367754540140381902  # pinned vs Spark 4.1.2
     assert xxh64_str("hello", seed=0) != xxh64_str("hello", seed=42)
+
+
+def test_long_and_chain_match_spark(spark):
+    """Single-long hashing AND the multi-argument seed chain both match
+    Spark — the contract oracle.doc_fingerprint's rolling fold relies on."""
+    vals = [0, 1, -1, 42, 2**63 - 1, -(2**63), 123456789, -987654321]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r.v: r.h for r in df.select("v", F.xxhash64("v").alias("h")).collect()}
+    for v in vals:
+        assert got[v] == xxh64_long(v), f"single-long mismatch for {v}"
+    pairs = [(0, 5), (5, 7), (-3, 2**62), (-(2**63), -1)]
+    pdf = spark.createDataFrame(pairs, "a long, b long")
+    got2 = {
+        (r.a, r.b): r.h
+        for r in pdf.select("a", "b", F.xxhash64("a", "b").alias("h")).collect()
+    }
+    for a, b in pairs:
+        assert got2[(a, b)] == xxh64_long(b, xxh64_long(a, 42)), (a, b)
