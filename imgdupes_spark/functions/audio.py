@@ -139,18 +139,38 @@ def _mix_mono(samples: np.ndarray) -> np.ndarray:
     return mono
 
 
+def _frame_energies(mono: np.ndarray, frames: int = 65) -> np.ndarray:
+    """Per-frame mean-square energies of one mono float window — the basis
+    both the hash and the low-information guard read, computed once."""
+    if len(mono) < frames:
+        mono = np.pad(mono, (0, frames - len(mono)))
+    bounds = np.arange(frames) * len(mono) // frames
+    widths = np.diff(np.append(bounds, len(mono)))
+    return np.add.reduceat(mono * mono, bounds) / widths
+
+
+def _energies_hash(energy: np.ndarray) -> int:
+    from imgdupes_spark.functions.imaging import _pack64
+
+    return _pack64(energy[1:] > energy[:-1])
+
+
 def _envelope_hash(mono: np.ndarray, frames: int = 65) -> int:
     """Energy-envelope difference hash of one mono float window (the shared
     kernel behind audio_hash64 and audio_chunk_hashes — bit-identical to the
     pre-chunking whole-clip kernel; goldens pinned in tests/test_audio.py)."""
-    if len(mono) < frames:
-        mono = np.pad(mono, (0, frames - len(mono)))
-    from imgdupes_spark.functions.imaging import _pack64
+    return _energies_hash(_frame_energies(mono, frames))
 
-    bounds = np.arange(frames) * len(mono) // frames
-    widths = np.diff(np.append(bounds, len(mono)))
-    energy = np.add.reduceat(mono * mono, bounds) / widths
-    return _pack64(energy[1:] > energy[:-1])
+
+def _low_information(energy: np.ndarray, rel_floor: float) -> bool:
+    """True for windows whose envelope carries no identity: digital silence
+    (zero energy everywhere) or a flat envelope (constant tone / DC), both
+    of which hash to 0 and would weld unrelated clips that merely share
+    quiet sections. The floor is RELATIVE (std/mean of the frame energies)
+    so the guard is gain-invariant like the hash itself — a quiet but real
+    recording scales both moments together and passes."""
+    m = float(energy.mean())
+    return m <= 0.0 or float(energy.std()) / m < rel_floor
 
 
 def audio_hash64(samples: np.ndarray, frames: int = 65) -> int:
@@ -171,6 +191,7 @@ def audio_chunk_hashes(
     chunk_s: float = 2.0,
     hop_s: float = 1.0,
     frames: int = 65,
+    min_rel_energy_std: float = 1e-3,
 ) -> list[tuple[int, int]]:
     """Per-chunk envelope hashes — the video frame pattern for audio:
     (chunk_idx, hash64) for each ``chunk_s``-second window taken every
@@ -183,12 +204,31 @@ def audio_chunk_hashes(
 
     Clips not longer than one chunk emit a single whole-clip row whose hash
     is bit-identical to audio_hash64 — short-clip matching degenerates to
-    exactly the whole-clip semantics."""
+    exactly the whole-clip semantics.
+
+    Low-information guard (the audio twin of the video path's flat-frame
+    ``min_std`` skip, sources/multimodal.sample_frames): chunks whose
+    envelope is silent or flat (``_low_information`` under
+    ``min_rel_energy_std``) are DROPPED — a digitally silent window hashes
+    to 0, so without this two unrelated clips that each contain a few quiet
+    seconds would share >= min_matched_chunks hashes and weld into one
+    cluster (and under audio_dedup's adaptive threshold ANY two quiet short
+    clips would link). Chunk indices keep their time positions (no
+    renumbering), so offset alignment between a clip and its trimmed copy
+    is unaffected. A clip that is silent end-to-end emits NO rows — no
+    fingerprint, never a cluster member, the audio analogue of the text
+    path's NULL-simhash quarantine. min_rel_energy_std=0 relaxes the guard
+    to the pure digital-silence drop (zero-energy windows only)."""
     mono = _mix_mono(samples)
     chunk, hop = int(chunk_s * rate), int(hop_s * rate)
     if len(mono) <= chunk:
-        return [(0, _envelope_hash(mono, frames))]
-    return [
-        (i, _envelope_hash(mono[s : s + chunk], frames))
-        for i, s in enumerate(range(0, len(mono) - chunk + 1, hop))
-    ]
+        energy = _frame_energies(mono, frames)
+        if _low_information(energy, min_rel_energy_std):
+            return []
+        return [(0, _energies_hash(energy))]
+    out = []
+    for i, s in enumerate(range(0, len(mono) - chunk + 1, hop)):
+        energy = _frame_energies(mono[s : s + chunk], frames)
+        if not _low_information(energy, min_rel_energy_std):
+            out.append((i, _energies_hash(energy)))
+    return out

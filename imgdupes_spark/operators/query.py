@@ -37,6 +37,7 @@ def _exact_hits(corpus_sig: DataFrame, probe_sig: DataFrame) -> DataFrame:
         "sha256",
         F.col("repo").alias("query_repo"),
         F.col("path").alias("query_path"),
+        F.col("commit").alias("query_commit"),
     )
     return (
         corpus_sig.select("doc_id", "sha256")
@@ -45,6 +46,7 @@ def _exact_hits(corpus_sig: DataFrame, probe_sig: DataFrame) -> DataFrame:
             "doc_id",
             "query_repo",
             "query_path",
+            "query_commit",
             F.lit(0).alias("hamming"),
             F.lit(None).cast("double").alias("jaccard_est"),
             F.lit("exact").alias("origin"),
@@ -60,6 +62,7 @@ def _simhash_hits(corpus_sig: DataFrame, probe_sig: DataFrame, cfg: DedupeConfig
                 "doc_id",
                 F.col("repo").alias("query_repo"),
                 F.col("path").alias("query_path"),
+                F.col("commit").alias("query_commit"),
             ),
             ["doc_id"],
         )
@@ -69,6 +72,7 @@ def _simhash_hits(corpus_sig: DataFrame, probe_sig: DataFrame, cfg: DedupeConfig
             "band_key",
             "query_repo",
             "query_path",
+            "query_commit",
         )
     )
     corpus_bands = simhash_bands(corpus_sig.filter(F.col("simhash").isNotNull()), cfg)
@@ -82,6 +86,7 @@ def _simhash_hits(corpus_sig: DataFrame, probe_sig: DataFrame, cfg: DedupeConfig
             "doc_id",
             "query_repo",
             "query_path",
+            "query_commit",
             "hamming",
             F.lit(None).cast("double").alias("jaccard_est"),
             F.lit("simhash").alias("origin"),
@@ -102,23 +107,31 @@ def _minhash_hits(corpus_sig: DataFrame, probe_sig: DataFrame, cfg: DedupeConfig
                 F.col("minhash").alias("q_minhash"),
                 F.col("repo").alias("query_repo"),
                 F.col("path").alias("query_path"),
+                F.col("commit").alias("query_commit"),
             ),
             ["doc_id"],
         )
-        .select("band_id", "band_key", "q_minhash", "query_repo", "query_path")
+        .select(
+            "band_id", "band_key", "q_minhash",
+            "query_repo", "query_path", "query_commit",
+        )
     )
     corpus_bands = minhash_bands(
         corpus_sig.filter(F.col("minhash").isNotNull()), cfg
     )
     cand = (
         corpus_bands.join(F.broadcast(probe_bands), ["band_id", "band_key"])
-        .dropDuplicates(["doc_id", "query_repo", "query_path"])
+        .dropDuplicates(["doc_id", "query_repo", "query_path", "query_commit"])
     )
     # attach the corpus signature for the survivors only (broadcast the tiny
     # survivor set against the corpus signature projection)
     sigs = corpus_sig.select("doc_id", "minhash")
     cand = sigs.join(
-        F.broadcast(cand.select("doc_id", "q_minhash", "query_repo", "query_path")),
+        F.broadcast(
+            cand.select(
+                "doc_id", "q_minhash", "query_repo", "query_path", "query_commit"
+            )
+        ),
         ["doc_id"],
     )
     agree = F.aggregate(
@@ -137,6 +150,7 @@ def _minhash_hits(corpus_sig: DataFrame, probe_sig: DataFrame, cfg: DedupeConfig
             "doc_id",
             "query_repo",
             "query_path",
+            "query_commit",
             F.lit(None).cast("int").alias("hamming"),
             "jaccard_est",
             F.lit("minhash").alias("origin"),
@@ -153,8 +167,11 @@ def query_probe(
     corpus_sig    signatures table of the corpus
     probe_corpus  (repo, path, commit, lang, content) probe rows (small)
 
-    Returns (query_repo, query_path, repo, path, hamming, jaccard_est,
-    origin); one row per (probe, doc, family) hit.
+    Returns (query_repo, query_path, query_commit, repo, path, hamming,
+    jaccard_est, origin); one row per (probe, doc, family) hit. The probe
+    identity is the FULL (repo, path, commit) triple — consumers replaying
+    history (two commits of one path in a batch) must key on all three
+    (round-4 advice: stream_selfdedup_gate).
     """
     probe_all = signatures(probe_corpus, cfg)
     probe_sig = probe_all.filter(F.col("simhash").isNotNull())
@@ -169,12 +186,14 @@ def query_probe(
     unioned = hits[0]
     for h in hits[1:]:
         unioned = unioned.unionByName(h)
-    unioned = unioned.dropDuplicates(["doc_id", "query_repo", "query_path", "origin"])
+    unioned = unioned.dropDuplicates(
+        ["doc_id", "query_repo", "query_path", "query_commit", "origin"]
+    )
     return (
         corpus_sig.select("doc_id", "repo", "path")
         .join(F.broadcast(unioned), ["doc_id"])
         .select(
-            "query_repo", "query_path", "repo", "path",
+            "query_repo", "query_path", "query_commit", "repo", "path",
             "hamming", "jaccard_est", "origin",
         )
     )

@@ -50,18 +50,38 @@ def _image_node_id() -> F.Column:
     return F.xxhash64(F.lit(_IMAGE_SALT), F.col("asset_id"))
 
 
-def _check_node_collisions(nodes: DataFrame, op: str) -> None:
+def _check_node_collisions(
+    nodes: DataFrame, op: str, identity_cols: list[str]
+) -> None:
     """64-bit birthday guard over derived node ids (one aggregate, same
     contract as fingerprints.doc_id_collisions): a silent collision would
-    merge two unrelated frames'/images' identities, so it must be LOUD."""
+    merge two unrelated frames'/images' identities, so it must be LOUD.
+
+    The two failure modes are distinguished (round-4 advice): node ids
+    fewer than DISTINCT identities is a true hash collision (widen ids);
+    more input rows than distinct identities is the same asset ingested
+    twice — a realistic input condition that must get the 'duplicate asset
+    rows' diagnosis, not a misleading birthday-bound error. Identity
+    distinctness is counted over a struct so NULL fields (images'
+    frame_idx in the cross-modal node map) still count."""
     row = nodes.agg(
-        F.count("*").alias("n"), F.countDistinct("node_id").alias("d")
+        F.count("*").alias("n"),
+        F.countDistinct("node_id").alias("d"),
+        F.countDistinct(F.struct(*identity_cols)).alias("i"),
     ).collect()[0]
-    if row.n != row.d:
+    if row.d < row.i:
         raise ValueError(
-            f"{op}: {row.n - row.d} node-id collision(s) among {row.n} nodes "
-            "— xxhash64 birthday bound exceeded; widen node ids (the 128-bit "
-            "doc_id device, config.doc_id_bits) for this corpus size"
+            f"{op}: {row.i - row.d} node-id collision(s) among {row.i} "
+            "distinct identities — xxhash64 birthday bound exceeded; widen "
+            "node ids (the 128-bit doc_id device, config.doc_id_bits) for "
+            "this corpus size"
+        )
+    if row.n > row.i:
+        raise ValueError(
+            f"{op}: duplicate asset rows — {row.n} input rows but only "
+            f"{row.i} distinct ({', '.join(identity_cols)}) identities; "
+            "the same asset was ingested more than once — dedupe the asset "
+            "table (e.g. dropDuplicates on the identity) before this pass"
         )
 
 
@@ -131,7 +151,9 @@ def cross_modal_matches(
                 "frame_idx",
             )
         )
-        _check_node_collisions(nodes, "cross_modal_matches")
+        _check_node_collisions(
+            nodes, "cross_modal_matches", ["kind", "asset_id", "frame_idx"]
+        )
         sig = img_feats.select(
             _image_node_id().alias("doc_id"), F.col("phash").alias("simhash")
         ).unionByName(
@@ -267,7 +289,7 @@ def partwise_dedup(
     feats = feats.filter(F.col(hash_col).isNotNull())
     node_id = F.xxhash64(F.lit(salt), F.col("asset_id"), F.col(part_col))
     nodes = feats.select(node_id.alias("node_id"), "asset_id", part_col)
-    _check_node_collisions(nodes, op)
+    _check_node_collisions(nodes, op, ["asset_id", part_col])
     sig = feats.select(
         node_id.alias("doc_id"), F.col(hash_col).alias("simhash")
     )

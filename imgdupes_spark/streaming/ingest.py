@@ -367,17 +367,20 @@ def stream_selfdedup_gate(
         )
         if _index_exists():
             index = spark.read.parquet(index_dir)
-            # query_probe identifies probes by (query_repo, query_path) —
-            # the reference's probe identity; sufficient here because a
-            # micro-batch carries one commit per (repo, path)
+            # probe identity is the FULL (repo, path, commit) triple: a
+            # batch replaying history can carry two commits of one path
+            # (maxFilesPerTrigger batches whole files), and an anti-join on
+            # (repo, path) alone would let the older commit's probe hit
+            # silently evict the novel newer commit too (round-4 advice)
             hits = (
                 query_probe(index, batch, cfg)
-                .select("query_repo", "query_path")
+                .select("query_repo", "query_path", "query_commit")
                 .distinct()
                 .withColumnRenamed("query_repo", "repo")
                 .withColumnRenamed("query_path", "path")
+                .withColumnRenamed("query_commit", "commit")
             )
-            novel = reps.join(hits, ["repo", "path"], "left_anti")
+            novel = reps.join(hits, keys, "left_anti")
         else:
             novel = reps
         # persist the batch result once: both sinks below consume it, and

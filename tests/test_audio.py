@@ -166,3 +166,51 @@ def test_audio_dedup_clusters_planted_variants(spark):
     singles = {a for a, t in truth.items() if isinstance(t, str)}
     assert singles.isdisjoint(got)
     assert len(set(got.values())) == 4
+
+
+def test_silent_chunks_never_weld_unrelated_clips(spark):
+    """Round-4 advice (medium): a digitally silent 2s window hashes to 0, so
+    without the low-information guard two unrelated clips that each contain
+    a few quiet seconds share >= min_matched_chunks chunk hashes and weld.
+    The guard drops silent/flat-envelope chunks before banding (the audio
+    twin of sample_frames' min_std flat-frame skip)."""
+    from imgdupes_spark.config import DedupeConfig
+    from imgdupes_spark.functions.audio import audio_chunk_hashes
+    from imgdupes_spark.operators.images import audio_dedup
+    from imgdupes_spark.sources.multimodal import ASSET_SCHEMA
+
+    rate = 16000
+    silence = np.zeros(6 * rate, np.int16)
+
+    # kernel level: pure silence and constant tone emit no chunks; a clip
+    # with a silent tail keeps only its informative chunks, original indices
+    assert audio_chunk_hashes(silence, rate) == []
+    dc = np.full(6 * rate, 1200, np.int16)  # constant tone / DC: flat envelope
+    assert audio_chunk_hashes(dc, rate) == []
+    tail_silent = np.concatenate([mklong(7, secs=2.0), silence])
+    kept = audio_chunk_hashes(tail_silent, rate)
+    assert kept, "informative chunks must survive"
+    assert all(h != 0 for _, h in kept)
+    assert {i for i, _ in kept} <= {0, 1}, "silent-window indices must be dropped"
+
+    # pipeline level: unrelated clips sharing only silence must NOT cluster;
+    # a re-gained copy must still cluster on its informative chunks
+    def clip(seed):
+        return np.concatenate([mklong(seed, secs=2.0), silence])
+
+    rows = []
+    for aid, c in [
+        (0, clip(101)),
+        (1, clip(202)),  # unrelated to 0; shares 5 silent windows
+        (2, (clip(101) * 0.7).astype(np.int16)),  # true copy of 0 (re-gain)
+        (3, np.zeros(rate // 2, np.int16)),  # short silent clips: adaptive
+        (4, np.zeros(rate // 2, np.int16)),  # threshold must not link them
+    ]:
+        payload = encode_wav(c, rate)
+        rows.append((aid, "audio", bytearray(payload), ("audio/wav", len(payload))))
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA).repartition(2)
+    out = audio_dedup(assets, DedupeConfig(hamming_d=4)).collect()
+    got = {r.asset_id: r.cluster_id for r in out}
+    assert got.get(0) == got.get(2) and got.get(0) is not None
+    assert 1 not in got, "unrelated clip welded through silent chunks"
+    assert 3 not in got and 4 not in got, "silent clips must have no fingerprint"

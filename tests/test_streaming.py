@@ -307,3 +307,43 @@ def test_stream_selfdedup_gate_accumulates(spark, cfg, tmp_path):
     stream_selfdedup_gate(spark, src, idx, adm, ckpt, cfg).awaitTermination(180)
     adm3 = {r.path for r in spark.read.parquet(adm).collect()}
     assert adm3 == adm2, adm3
+
+
+def test_stream_selfdedup_gate_commit_identity(spark, cfg, tmp_path):
+    """Round-4 advice (low): a batch replaying history can carry TWO commits
+    of one (repo, path). When the older commit probe-hits the index, the
+    newer NOVEL commit must still be admitted — the probe/anti-join keys on
+    the full (repo, path, commit) identity, not (repo, path) alone."""
+    import pandas as pd
+
+    from imgdupes_spark.streaming.ingest import stream_selfdedup_gate
+
+    src = str(tmp_path / "in8")
+    idx = str(tmp_path / "idx8")
+    adm = str(tmp_path / "adm8")
+    ckpt = str(tmp_path / "ck8")
+
+    old_body = "the original committed text body of this file with stable words"
+    new_body = "a completely rewritten file body sharing nothing with before"
+
+    # wave 1 admits the old commit's content
+    w1 = pd.DataFrame(
+        [{"repo": "r", "path": "f.py", "commit": "c0", "lang": "py", "content": old_body}]
+    )
+    spark.createDataFrame(w1).write.mode("append").parquet(src)
+    stream_selfdedup_gate(spark, src, idx, adm, ckpt, cfg).awaitTermination(180)
+
+    # wave 2 replays history: the old commit again (probe-hits the index)
+    # PLUS a novel rewrite commit of the same path, in one batch
+    w2 = pd.DataFrame(
+        [
+            {"repo": "r", "path": "f.py", "commit": "c0", "lang": "py", "content": old_body},
+            {"repo": "r", "path": "f.py", "commit": "c1", "lang": "py", "content": new_body},
+        ]
+    )
+    spark.createDataFrame(w2).write.mode("append").parquet(src)
+    stream_selfdedup_gate(spark, src, idx, adm, ckpt, cfg).awaitTermination(180)
+
+    admitted = {(r.path, r.commit) for r in spark.read.parquet(adm).collect()}
+    assert ("f.py", "c1") in admitted, "novel commit evicted by its older twin"
+    assert sum(1 for p, c in admitted if c == "c0") == 1  # replay stays rejected

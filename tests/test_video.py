@@ -157,3 +157,20 @@ def test_video_dedup_clusters_planted_variants(spark):
     assert len(set(got.values())) == 3
     sampled = {r.asset_id: r.n_frames_sampled for r in out}
     assert all(n == 12 for n in sampled.values())  # every_s=0.25 at 4fps = all
+
+
+def test_duplicate_asset_rows_get_correct_diagnosis(spark):
+    """Round-4 advice (low): the same asset ingested twice is an input
+    condition, not an xxhash64 birthday-bound failure — the guard must say
+    'duplicate asset rows', never 'widen node ids'."""
+    import pytest
+
+    from imgdupes_spark.config import DedupeConfig
+    from imgdupes_spark.operators.video import video_dedup
+    from imgdupes_spark.sources.multimodal import ASSET_SCHEMA
+
+    payload = encode_y4m(mkvideo(1), fps=4)
+    row = (wid(0), "video", bytearray(payload), ("video/x-y4m", len(payload)))
+    assets = spark.createDataFrame([row, row], ASSET_SCHEMA)  # ingested twice
+    with pytest.raises(ValueError, match="duplicate asset rows"):
+        video_dedup(assets, DedupeConfig(hamming_d=4), every_s=0.25)
