@@ -100,14 +100,22 @@ def main() -> None:
         bcorpus, n_planted = boilerplate_corpus_spark(spark, boiler_n)
         bcorpus = bcorpus.persist()
         bcorpus.count()
-        t0 = time.time()
-        n_edges = containment_edges(bcorpus, cfg).count()
-        timings["containment_boiler"] = round(time.time() - t0, 3)
+        # min-of-k legs (round-4 verdict item 2): this row regressed >1.5x
+        # round-over-round from steal-time noise alone while every min-of-k
+        # row improved — single-shot timings are not evidence on this box
+        boiler_k = int(os.environ.get("SPARK_GRAFT_BOILER_REPEATS", "2"))
+        boiler_legs = []
+        for _ in range(boiler_k):
+            t0 = time.time()
+            n_edges = containment_edges(bcorpus, cfg).count()
+            boiler_legs.append(time.time() - t0)
+        timings["containment_boiler"] = round(min(boiler_legs), 3)
         bcorpus.unpersist()
         result_boiler = {
             "n_docs": boiler_n,
             "n_planted": n_planted,
             "n_edges": int(n_edges),
+            "legs_sec": [round(x, 2) for x in boiler_legs],
             "sec": timings["containment_boiler"],
         }
     else:
@@ -123,13 +131,26 @@ def main() -> None:
             "knn_bruteforce",
             "token_counts",
             "quality_profile",
-            "decontaminate",
             "repetition_profile",
         ):
             timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
+        # decontaminate gets min-of-k legs like containment_boiler (round-4
+        # verdict item 2 — the other single-shot row the driver artifact
+        # showed a noise-only "regression" on)
+        decon_k = int(os.environ.get("SPARK_GRAFT_DECON_REPEATS", "2"))
+        decon_legs = []
+        for _ in range(decon_k):
+            t0 = time.time()
+            qs["decontaminate"](spark, sf_dir).count()
+            decon_legs.append(time.time() - t0)
+        timings["decontaminate"] = round(min(decon_legs), 3)
+        decon_result = {"legs_sec": [round(x, 2) for x in decon_legs],
+                        "best_sec": timings["decontaminate"]}
         timed("text_profile_docs", lambda: text_profile(
             entry_mod._docs(spark, sf_dir), content_col="text").count())
+    else:
+        decon_result = None
 
     result = {
         "metric": "e2e_dedupe_sec",
@@ -146,6 +167,8 @@ def main() -> None:
         result["protocol_460k"] = result_protocol
     if result_boiler is not None:
         result["containment_boiler"] = result_boiler
+    if decon_result is not None:
+        result["decontaminate"] = decon_result
     spark.stop()
     print(json.dumps(result))
 
