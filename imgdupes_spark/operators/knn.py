@@ -75,36 +75,23 @@ def make_rp_buckets_udf(dim: int, n_bits: int = 6, n_tables: int = 8, seed: int 
     return rp_buckets
 
 
-def knn_lsh(
-    vectors: DataFrame,
+def _probe_bucket_rows(
     probes: DataFrame,
     dim: int,
-    k: int = 5,
-    n_bits: int = 6,
-    n_tables: int = 8,
-    multiprobe: int = 0,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    n_bits: int,
+    n_tables: int,
+    multiprobe: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to vectors sharing at least
-    one of the probe's L hyperplane buckets. At cluster scale the bucket
-    array is precomputed once and the corpus is bucketed/partitioned by the
-    exploded bucket id, so each probe is a partition-pruned scan instead of a
-    full pass; candidate volume is tuned by (n_bits up = fewer candidates,
-    n_tables up = higher recall).
-
-    multiprobe=1 additionally probes, per table, every bucket at Hamming
-    distance 1 from the probe's own bucket (Lv et al., "Multi-Probe LSH",
-    VLDB 2007) — recall per table rises from p^b to p^b + b*p^(b-1)*(1-p)
-    at zero extra corpus rows; only the (tiny, broadcast) probe side fans
-    out x(b+1). The flips are pure JVM bit-xor on the bucket id — the UDF
-    runs once, unchanged."""
+    """(query_id, q, b) probe rows: one per (probe, table) bucket, expanded
+    to Hamming radius ``multiprobe`` (Lv et al., "Multi-Probe LSH", VLDB
+    2007) — recall per table rises from p^b to p^b + b*p^(b-1)*(1-p) at
+    zero extra corpus rows; only this (tiny, broadcast) side fans out
+    x(b+1). The flips are pure JVM bit-xor on the bucket id — the UDF runs
+    once, unchanged."""
     buckets = make_rp_buckets_udf(dim, n_bits, n_tables)
     v_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    corpus = vectors.select(
-        F.col(id_col).alias("neighbor_id"), v_d.alias("v"),
-        F.explode(buckets(F.col(vec_col))).alias("b"),
-    )
     probe = probes.select(
         F.col(id_col).alias("query_id"), v_d.alias("q"),
         F.explode(buckets(F.col(vec_col))).alias("b"),
@@ -117,6 +104,13 @@ def knn_lsh(
         probe = probe.select(
             "query_id", "q", F.explode(flips).alias("b")
         )
+    return probe
+
+
+def _bucket_join_topk(corpus: DataFrame, probe: DataFrame, k: int) -> DataFrame:
+    """Shared probe tail: broadcast the probe bucket rows against the
+    (neighbor_id, v, b) corpus bucket table, verify by exact cosine, rank
+    top-k. The corpus side is never shuffled — only scanned."""
     cand = (
         corpus.join(F.broadcast(probe), ["b"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -129,6 +123,97 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def knn_lsh(
+    vectors: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_bits: int = 6,
+    n_tables: int = 8,
+    multiprobe: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to vectors sharing at least
+    one of the probe's L hyperplane buckets; candidate volume is tuned by
+    (n_bits up = fewer candidates, n_tables up = higher recall).
+
+    This variant computes the corpus bucket table inline (one UDF pass per
+    call) — right for one-shot jobs. A probe SERVICE over a stable corpus
+    must not pay that pass per call: build the bucket table once with
+    build_rp_index (partitioned by bucket id) and probe it with
+    knn_lsh_indexed, whose scan is dynamically partition-pruned to the
+    probes' buckets."""
+    buckets = make_rp_buckets_udf(dim, n_bits, n_tables)
+    v_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    corpus = vectors.select(
+        F.col(id_col).alias("neighbor_id"), v_d.alias("v"),
+        F.explode(buckets(F.col(vec_col))).alias("b"),
+    )
+    probe = _probe_bucket_rows(
+        probes, dim, n_bits, n_tables, multiprobe, id_col, vec_col
+    )
+    return _bucket_join_topk(corpus, probe, k)
+
+
+def build_rp_index(
+    vectors: DataFrame,
+    dim: int,
+    path: str,
+    n_bits: int = 6,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the RP-bucket corpus index ONCE as a parquet table
+    partitioned by bucket id (round-4 verdict item 5: knn_lsh recomputed
+    the corpus bucket UDF on every call).
+
+    Layout: one row per (vector, table) membership — (neighbor_id, v)
+    under partition directory b=<bucket id>. There are n_tables * 2^n_bits
+    partitions (256 at the 4-bit x 16-table dedup config; 512 at the 6x8
+    probe default), each holding ~n_vectors/2^n_bits rows — coarse enough
+    that 10^9 vectors still give ~100MB+ files per partition, fine enough
+    that a probe touches only its (multiprobe-expanded) buckets.
+
+    Probing with knn_lsh_indexed then reads ONLY the probe's partitions via
+    dynamic partition pruning (the probe side is broadcast and ``b`` is the
+    partition column — plan-asserted in tests/test_plans.py); re-probing
+    pays zero corpus UDF work. Rebuild when the corpus or the
+    (dim, n_bits, n_tables, seed) geometry changes — the geometry must
+    match at probe time (same seeded planes)."""
+    buckets = make_rp_buckets_udf(dim, n_bits, n_tables)
+    v_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    corpus = vectors.select(
+        F.col(id_col).alias("neighbor_id"), v_d.alias("v"),
+        F.explode(buckets(F.col(vec_col))).alias("b"),
+    )
+    corpus.write.partitionBy("b").mode("overwrite").parquet(path)
+
+
+def knn_lsh_indexed(
+    spark,
+    index_path: str,
+    probes: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_bits: int = 6,
+    n_tables: int = 8,
+    multiprobe: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """knn_lsh over a build_rp_index table: same results as knn_lsh with the
+    same geometry (pinned by tests), but the corpus-side UDF ran once at
+    build time and the scan is pruned to the probed buckets. The geometry
+    arguments must match the ones the index was built with."""
+    corpus = spark.read.parquet(index_path)
+    probe = _probe_bucket_rows(
+        probes, dim, n_bits, n_tables, multiprobe, id_col, vec_col
+    )
+    return _bucket_join_topk(corpus, probe, k)
 
 
 def embedding_dedup(

@@ -47,3 +47,39 @@ def test_scan_is_columnar_and_codegen(spark):
     # exchange (Catalyst's partial+final split — SURVEY.md §4)
     assert "Batched: true" in plan
     assert "partial_count" in plan
+
+
+def test_rp_index_probe_is_partition_pruned(spark, tmp_path):
+    """Round-4 verdict item 5: knn_lsh recomputed the corpus bucket UDF per
+    call. build_rp_index materializes the bucket table once, partitioned by
+    bucket id; the indexed probe must (a) return exactly the inline knn_lsh
+    result and (b) scan the index with DYNAMIC PARTITION PRUNING on the
+    broadcast probe buckets — visible in the executed plan — instead of a
+    full pass + UDF."""
+    from imgdupes_spark.operators.knn import (
+        build_rp_index,
+        knn_lsh,
+        knn_lsh_indexed,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    probes = e.filter(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "rpidx")
+    build_rp_index(e, 64, idx, n_bits=4, n_tables=16)
+
+    out = knn_lsh_indexed(
+        spark, idx, probes, 64, k=5, n_bits=4, n_tables=16, multiprobe=1
+    )
+    base = knn_lsh(e, probes, 64, k=5, n_bits=4, n_tables=16, multiprobe=1)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base.collect()))
+
+    plan = _plan(out)
+    assert "dynamicpruning" in plan.lower(), plan
+    # the index scan must not run the bucket UDF (no Python for the corpus)
+    index_scan = [
+        ln for ln in plan.split("\n") if "FileScan parquet" in ln and "rpidx" in ln
+    ]
+    assert index_scan, plan
+    assert "ArrowEvalPython" not in plan.split("BroadcastExchange")[0], (
+        "corpus side of the probe join must be a pure scan"
+    )
