@@ -314,6 +314,7 @@ def stream_selfdedup_gate(
     checkpoint_dir: str,
     cfg: DedupeConfig,
     available_now: bool = True,
+    compact_max_files: int | None = 64,
 ) -> StreamingQuery:
     """Self-accumulating streaming near-dup gate (seventh streaming
     operator): each micro-batch is probed against the signature index of
@@ -332,8 +333,21 @@ def stream_selfdedup_gate(
     shuffled. foreachBatch is at-least-once on retry; both sinks are
     idempotent-on-read by (repo, path, commit) like the batch checkpoint
     convention (plans/pipeline.py).
+
+    Index compaction (round-4 verdict item 6): each batch appends one
+    parquet file-set, so the file count — and with it the per-batch listing
+    and scan-open cost — would grow O(batches) unbounded. Whenever the
+    index exceeds ``compact_max_files`` data files, the batch rewrites it
+    into ~compact_max_files/4 files and swaps the directory in (write to a
+    sibling temp dir, rename old aside, rename temp in). The gate is the
+    index's only writer between batches (one streaming query), so the swap
+    races with nothing; every crash window is recoverable — the only
+    non-trivial one (old renamed aside, new not yet in place) is healed by
+    the rename-back check each batch runs first, so the index can lose
+    rows in NO window. ``compact_max_files=None`` disables compaction.
     """
     import os
+    import shutil
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -348,14 +362,39 @@ def stream_selfdedup_gate(
     )
     keys = ["repo", "path", "commit"]
 
+    trash_dir = index_dir.rstrip("/") + ".old"
+    tmp_dir = index_dir.rstrip("/") + ".compacting"
+
+    def _recover_swap() -> None:
+        # heal the one compaction crash window with the index renamed aside
+        if not os.path.isdir(index_dir) and os.path.isdir(trash_dir):
+            os.rename(trash_dir, index_dir)
+
+    def _index_files() -> list[str]:
+        if not os.path.isdir(index_dir):
+            return []
+        return [f for f in os.listdir(index_dir) if f.endswith(".parquet")]
+
     def _index_exists() -> bool:
-        return os.path.isdir(index_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(index_dir)
-        )
+        return bool(_index_files())
+
+    def _compact_index() -> None:
+        n = len(_index_files())
+        if compact_max_files is None or n <= compact_max_files:
+            return
+        target = max(1, compact_max_files // 4)
+        spark.read.parquet(index_dir).coalesce(target).write.mode(
+            "overwrite"
+        ).parquet(tmp_dir)
+        shutil.rmtree(trash_dir, ignore_errors=True)
+        os.rename(index_dir, trash_dir)
+        os.rename(tmp_dir, index_dir)
+        shutil.rmtree(trash_dir, ignore_errors=True)
 
     def _gate_batch(batch, _epoch: int) -> None:
         if batch.isEmpty():
             return
+        _recover_swap()
         # in-batch exact collapse first: one deterministic representative
         # per sha256 (min doc_id, identity tie-break)
         sig = signatures(batch, cfg)
@@ -394,6 +433,7 @@ def stream_selfdedup_gate(
             novel.write.mode("append").parquet(index_dir)
         finally:
             novel.unpersist()
+        _compact_index()
 
     writer = stream.writeStream.foreachBatch(_gate_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -347,3 +347,52 @@ def test_stream_selfdedup_gate_commit_identity(spark, cfg, tmp_path):
     admitted = {(r.path, r.commit) for r in spark.read.parquet(adm).collect()}
     assert ("f.py", "c1") in admitted, "novel commit evicted by its older twin"
     assert sum(1 for p, c in admitted if c == "c0") == 1  # replay stays rejected
+
+
+def test_stream_selfdedup_index_compaction_bounds_growth(spark, cfg, tmp_path):
+    """Round-4 verdict item 6: the admitted-signature index used to gain one
+    parquet file-set per micro-batch forever (listing cost O(batches)).
+    With compaction the data-file count stays bounded across >=10 waves,
+    and the gate semantics (novel admitted, re-arrivals rejected) survive
+    every compaction swap."""
+    import os
+
+    import pandas as pd
+
+    from imgdupes_spark.streaming.ingest import stream_selfdedup_gate
+
+    src = str(tmp_path / "in9")
+    idx = str(tmp_path / "idx9")
+    adm = str(tmp_path / "adm9")
+    ckpt = str(tmp_path / "ck9")
+    boiler = "the eternally re-arriving generated header that must stay rejected"
+
+    def files():
+        return [f for f in os.listdir(idx) if f.endswith(".parquet")]
+
+    counts = []
+    n_waves = 11
+    for i in range(n_waves):
+        wave = pd.DataFrame(
+            [
+                {"repo": "r", "path": f"uniq{i}", "commit": "c", "lang": "t",
+                 "content": f"wave {i} document body with its own words number {i}"},
+                {"repo": "r", "path": f"boiler{i}", "commit": "c", "lang": "t",
+                 "content": boiler},
+            ]
+        )
+        spark.createDataFrame(wave).write.mode("append").parquet(src)
+        stream_selfdedup_gate(
+            spark, src, idx, adm, ckpt, cfg, compact_max_files=6
+        ).awaitTermination(180)
+        counts.append(len(files()))
+
+    # growth bound: compaction must keep the file count under a constant
+    # (compact threshold + at most a few per-batch appends), NOT O(waves)
+    assert max(counts) <= 12, counts
+    assert counts[-1] <= 12, counts
+
+    admitted = {r.path for r in spark.read.parquet(adm).collect()}
+    assert {f"uniq{i}" for i in range(n_waves)} <= admitted
+    boilers = {p for p in admitted if p.startswith("boiler")}
+    assert boilers == {"boiler0"}, boilers
