@@ -1,0 +1,166 @@
+"""Atomic-manifest parquet table: the Iceberg writer contract emulated on a
+plain filesystem (round-4 verdict item 4).
+
+The sandbox has no Iceberg runtime jar (BASELINE.md), but the checkpoint
+story promises MERGE-INTO-like write-time semantics. This table provides the
+two properties the pipeline needs from a catalog, with nothing but parquet
+plus POSIX rename/link atomicity — swap in a real Iceberg catalog (same
+append/overwrite/read surface) at deployment and nothing above it changes:
+
+  snapshot isolation    readers resolve the CURRENT manifest (one small JSON
+                        file) and scan exactly the data directories it
+                        lists; a writer in progress is invisible until its
+                        manifest commit lands.
+  exactly-once commits  every append carries the caller's deterministic
+                        operation key; an append whose op_key is already in
+                        the committed history is a no-op, so two resumes
+                        racing on the same logical append cannot
+                        double-write — write-time exactly-once, which
+                        retires the read-side dropDuplicates crutch the
+                        plain append-only checkpoint needed.
+
+Commit protocol (Iceberg's optimistic CAS, scaled down): write the new
+manifest as a temp file, then ``os.link(tmp, v{N+1}.json)``. link(2) fails
+with EEXIST when another writer committed version N+1 first; the loser
+re-reads the head and retries on top (or discovers its op_key landed and
+backs off). Data directories written by a losing or crashed attempt are
+orphans outside every manifest: invisible to readers, reclaimable by
+``vacuum()``. Manifest files are immutable once linked.
+
+Layout:
+    <path>/_manifests/v{N:08d}.json   committed versions (immutable)
+    <path>/data/<op_key>-<uuid8>/     one parquet dir per commit attempt
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ManifestedParquetTable:
+    """One checkpoint table with manifest-committed membership.
+
+    At 100 TB the manifest stays tiny: one JSON row per COMMIT (one
+    incremental resume each), not per data file — the heavy listing is
+    delegated to the parquet reader over the listed directories, exactly
+    like Iceberg delegates to its file manifests."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.mdir = os.path.join(path, "_manifests")
+        self.ddir = os.path.join(path, "data")
+
+    # ------------------------------------------------------------ manifest
+
+    def _versions(self) -> list[str]:
+        if not os.path.isdir(self.mdir):
+            return []
+        return sorted(
+            f for f in os.listdir(self.mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def _latest(self) -> tuple[int, list[dict]]:
+        vs = self._versions()
+        if not vs:
+            return 0, []
+        head = vs[-1]
+        with open(os.path.join(self.mdir, head)) as fh:
+            return int(head[1:-5]), json.load(fh)
+
+    def exists(self) -> bool:
+        return bool(self._versions())
+
+    def committed_ops(self) -> set[str]:
+        return {e["op_key"] for e in self._latest()[1]}
+
+    def _commit(self, entry: dict, replace: bool) -> bool:
+        """CAS-append ``entry`` to the head manifest (or replace the whole
+        entry list when ``replace``). False iff entry['op_key'] was already
+        committed by someone else (append mode only)."""
+        os.makedirs(self.mdir, exist_ok=True)
+        while True:
+            v, entries = self._latest()
+            if not replace and any(e["op_key"] == entry["op_key"] for e in entries):
+                return False
+            new_entries = [entry] if replace else entries + [entry]
+            tmp = os.path.join(self.mdir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                json.dump(new_entries, fh)
+            target = os.path.join(self.mdir, f"v{v + 1:08d}.json")
+            try:
+                os.link(tmp, target)  # atomic; EEXIST = lost the CAS race
+                os.remove(tmp)
+                return True
+            except FileExistsError:
+                os.remove(tmp)
+
+    # ---------------------------------------------------------------- I/O
+
+    def _write_data(self, df: DataFrame, op_key: str) -> tuple[str, int]:
+        """Write df under a unique data dir; returns (dirname, rows). The
+        row count is observed on the write action itself — no second pass."""
+        from pyspark.sql import Observation
+
+        assert "/" not in op_key and op_key == op_key.strip(), (
+            f"op_key must be filesystem-safe: {op_key!r}"
+        )
+        dname = f"{op_key}-{uuid.uuid4().hex[:8]}"
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.ddir, dname))
+        return dname, int(obs.get["rows"])
+
+    def overwrite(self, df: DataFrame, op_key: str = "initial") -> int:
+        """Truncate-and-write: the new manifest lists ONLY this commit's
+        data. Two racing initial writers both commit deterministic identical
+        content; the head manifest resolves to exactly one of them — never a
+        union. Returns rows written."""
+        dname, rows = self._write_data(df, op_key)
+        self._commit({"dir": dname, "op_key": op_key, "rows": rows}, replace=True)
+        return rows
+
+    def append(self, df: DataFrame, op_key: str) -> int | None:
+        """Exactly-once append: returns rows written, or None when this
+        op_key is already committed (the racing twin's write landed first —
+        our data dir is removed, nothing becomes visible twice)."""
+        if op_key in self.committed_ops():
+            return None  # cheap pre-check; the CAS below is authoritative
+        dname, rows = self._write_data(df, op_key)
+        if self._commit({"dir": dname, "op_key": op_key, "rows": rows}, replace=False):
+            return rows
+        shutil.rmtree(os.path.join(self.ddir, dname), ignore_errors=True)
+        return None
+
+    def read(self) -> DataFrame:
+        v, entries = self._latest()
+        assert entries, f"read() on empty table {self.path}"
+        return self.spark.read.parquet(
+            *(os.path.join(self.ddir, e["dir"]) for e in entries)
+        )
+
+    def rows(self) -> int:
+        """Committed row count from manifest metadata alone (no scan)."""
+        return sum(int(e["rows"]) for e in self._latest()[1])
+
+    def vacuum(self) -> int:
+        """Remove orphan data dirs (crashed/lost commit attempts) not
+        referenced by the CURRENT manifest. Returns the number removed.
+        Safe only when no writer is mid-commit — same contract as Iceberg's
+        remove_orphan_files."""
+        live = {e["dir"] for e in self._latest()[1]}
+        n = 0
+        if os.path.isdir(self.ddir):
+            for d in os.listdir(self.ddir):
+                if d not in live:
+                    shutil.rmtree(os.path.join(self.ddir, d), ignore_errors=True)
+                    n += 1
+        return n

@@ -11,7 +11,10 @@ the whole upstream DAG (SURVEY.md §4 X1).
 Stages: signatures -> edges -> components -> members. The signatures stage
 resumes *incrementally*: rows already fingerprinted under the same config are
 anti-joined away and only new rows pay the UDF (the reference's
-update_hash_dict set-diff, common/hashcache.py:75-110, as joins).
+update_hash_dict set-diff, common/hashcache.py:75-110, as joins). Its
+checkpoint is an atomic-manifest table (plans/manifest.py): snapshot-isolated
+reads and exactly-once commits keyed by the diff identity, so concurrent
+resumes cannot double-write — the Iceberg writer contract, jar or no jar.
 
 Every stage appends a row to <workdir>/metrics: rows, seconds, partitions —
 the per-partition lineage/metrics requirement of the north rule (the Spark
@@ -139,39 +142,45 @@ class DedupePipeline:
         assignments). Each stage is read from its checkpoint when fresh.
         ``validate_ids`` runs the 64-bit doc_id birthday guard (one
         aggregate over the signatures checkpoint)."""
+        from imgdupes_spark.plans.manifest import ManifestedParquetTable
+
         cfg = self.cfg
 
         t0 = time.time()
-        if resume and self._exists("signatures"):
+        sig_tbl = ManifestedParquetTable(self.spark, self._path("signatures"))
+        if resume and sig_tbl.exists():
             # Append-only incremental resume: fingerprint ONLY the rows not in
             # the checkpoint and APPEND them — the run writes O(new) bytes, not
             # a full-table rewrite (round-1 verdict item 7; the reference's
             # update_hash_dict set-diff, common/hashcache.py:75-110). Rows
             # removed from the corpus are handled on the READ side by a
             # semi-join against the live corpus keys — never rewritten.
-            # Under a real catalog this append + read-filter is an Iceberg
-            # MERGE INTO; the parquet stand-in keeps the identical contract.
-            ckpt = self._read("signatures")
+            # The append commits through the atomic-manifest table with a
+            # deterministic op key derived from the diff identity: two
+            # resumes racing from the same snapshot compute the same diff,
+            # the same key, and exactly ONE commit lands (round-4 verdict
+            # item 4 — write-time exactly-once; no read-side dedup needed).
+            ckpt = sig_tbl.read()
             new, _ = incremental_diff(corpus, ckpt)
-            signatures(new, cfg).write.mode("append").parquet(
-                self._path("signatures")
-            )
+            drow = new.agg(
+                F.count("*").alias("n"),
+                F.coalesce(
+                    F.bit_xor(F.xxhash64("repo", "path", "commit")), F.lit(0)
+                ).alias("h"),
+            ).collect()[0]
+            if drow.n:
+                sig_tbl.append(
+                    signatures(new, cfg),
+                    op_key=f"a{drow.n}x{drow.h & 0xFFFFFFFFFFFFFFFF:016x}",
+                )
             keys = ["repo", "path", "commit"]
-            sig = self._read("signatures").join(
-                corpus.select(*keys), keys, "left_semi"
-            )
-            # idempotent-consumer dedup: two resumes racing on the same
-            # workdir can BOTH append the same new rows (append-only files
-            # have no MERGE transaction); duplicate identities are collapsed
-            # on read — signatures are deterministic per (identity, config),
-            # so any surviving row is the right one. Under a real Iceberg
-            # catalog the MERGE INTO makes the append itself exactly-once
-            # and this dropDuplicates is a no-op.
-            sig = sig.dropDuplicates(keys)
+            sig = sig_tbl.read().join(corpus.select(*keys), keys, "left_semi")
             sig = self._record("signatures", sig, t0, resumed=True)
         else:
-            df, rows = self._write("signatures", signatures(corpus, cfg))
-            sig = self._record("signatures", df, t0, resumed=False, rows=rows)
+            rows = sig_tbl.overwrite(signatures(corpus, cfg))
+            sig = self._record(
+                "signatures", sig_tbl.read(), t0, resumed=False, rows=rows
+            )
         row = sig.agg(
             F.count("*").alias("n"),
             F.coalesce(F.bit_xor(F.xxhash64("doc_id", "sha256")), F.lit(0)).alias("h"),

@@ -38,12 +38,14 @@ def test_resume_idempotence(spark, cfg, small_corpus, tmp_path):
 def _sig_parts(wd: str, fp: str) -> dict[str, int]:
     import os
 
-    d = os.path.join(wd, f"signatures_{fp}")
-    return {
-        f: os.path.getsize(os.path.join(d, f))
-        for f in os.listdir(d)
-        if f.startswith("part-")
-    }
+    d = os.path.join(wd, f"signatures_{fp}", "data")
+    out = {}
+    for root, _, files in os.walk(d):
+        for f in files:
+            if f.startswith("part-"):
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, d)] = os.path.getsize(p)
+    return out
 
 
 def test_curation_stage_resumes_and_flags(spark, cfg, small_corpus, tmp_path):
@@ -144,36 +146,48 @@ def test_config_change_invalidates(spark, cfg, small_corpus, tmp_path):
 
 
 def test_concurrent_writer_overlap(spark, cfg, small_corpus, tmp_path):
-    """Two resumes racing on the same workdir (round-2 verdict item 6, the
-    in-sandbox Iceberg rehearsal): the worst-case interleaving is BOTH
-    writers appending the same new rows before either reads back. Simulated
-    deterministically by appending the incremental batch twice; the read
-    side must collapse duplicate identities so downstream output is
-    byte-identical to the single-writer run."""
+    """Two resumes racing on the same workdir (round-2 verdict item 6; the
+    write-time contract per round-4 verdict item 4): the worst-case
+    interleaving is BOTH writers computing the same diff from the same
+    committed snapshot and appending it. With the atomic-manifest table
+    exactly ONE commit lands — the COMMITTED table itself has no duplicate
+    identities (no read-side dropDuplicates anywhere), and downstream
+    output is byte-identical to the single-writer run."""
     from imgdupes_spark.functions.fingerprints import signatures as sig_fn
+    from imgdupes_spark.plans.manifest import ManifestedParquetTable
     from imgdupes_spark.sources.loader import incremental_diff
 
     wd = str(tmp_path / "wd_race")
     half = small_corpus.limit(40)
     DedupePipeline(spark, cfg, wd).run(half)
 
-    # race: two writers compute the same diff and both append it
+    # race: two writers compute the same diff from the same snapshot and
+    # both try to commit it — same deterministic op key
     p = DedupePipeline(spark, cfg, wd)
-    ckpt = spark.read.parquet(p._path("signatures"))
-    new, _ = incremental_diff(small_corpus, ckpt)
-    for _ in range(2):  # writer A and writer B
-        sig_fn(new, cfg).write.mode("append").parquet(p._path("signatures"))
-    raw = spark.read.parquet(p._path("signatures"))
-    n_total = small_corpus.count()
-    assert raw.count() > n_total  # duplicates really present on disk
+    tbl = ManifestedParquetTable(spark, p._path("signatures"))
+    new, _ = incremental_diff(small_corpus, tbl.read())
+    n_new = new.count()
+    assert tbl.append(sig_fn(new, cfg), op_key="resume-race") == n_new  # A lands
+    assert tbl.append(sig_fn(new, cfg), op_key="resume-race") is None  # B no-ops
 
-    # resume over the polluted checkpoint: output identical to a clean run
+    n_total = small_corpus.count()
+    assert tbl.read().count() == n_total  # committed table: NO duplicates
+    assert tbl.rows() == n_total  # manifest metadata agrees without a scan
+
+    # a crashed commit attempt (data written, manifest never linked) leaves
+    # an orphan data dir: invisible to readers, reclaimed by vacuum
+    tbl._write_data(sig_fn(new, cfg), "crashed")
+    assert tbl.read().count() == n_total
+    assert tbl.vacuum() == 1
+    assert tbl.read().count() == n_total  # vacuum never touches live data
+
+    # resume over the raced checkpoint: output identical to a clean run
     m_race = _members_key(DedupePipeline(spark, cfg, wd).run(small_corpus))
     clean_wd = str(tmp_path / "wd_clean")
     m_clean = _members_key(DedupePipeline(spark, cfg, clean_wd).run(small_corpus))
     assert m_race == m_clean
 
-    # and the deduped signature view has exactly one row per identity
+    # a third resume sees nothing new and keeps exactly one row per identity
     p3 = DedupePipeline(spark, cfg, wd)
     p3.run(small_corpus)
     assert p3.results["signatures"].rows == n_total
