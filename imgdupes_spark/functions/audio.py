@@ -232,3 +232,94 @@ def audio_chunk_hashes(
         if not _low_information(energy, min_rel_energy_std):
             out.append((i, _energies_hash(energy)))
     return out
+
+
+def anchor_positions(
+    mono: np.ndarray,
+    rate: int,
+    hop_s: float = 0.01,
+    win_s: float = 0.05,
+    min_sep_s: float = 0.5,
+) -> list[int]:
+    """Sample positions of the clip's energy-envelope peaks — CONTENT-
+    DEFINED chunk boundaries (the audio twin of content-defined chunking in
+    dedup storage): a trim/pad shifts every peak by exactly the offset, so
+    windows anchored here stay sample-aligned between a clip and its
+    offset copy for ARBITRARY offsets, where fixed-hop windows decorrelate
+    for any offset that is not a hop multiple (measured: sub-hop offsets
+    give ~0 recall through the hop kernel, BASELINE.md round 5).
+
+    Two stages, both shift-equivariant:
+      1. coarse: ``win_s`` moving energies on a ``hop_s`` grid (prefix-sum,
+         O(n)); greedy peak picking by height with ``min_sep_s`` minimum
+         separation (stable order — deterministic under energy ties).
+      2. refine: each coarse peak is snapped to the argmax of the EXACT
+         moving energy within +-hop samples — sample-accurate, so off-grid
+         offsets land on the same content position (grid-quantized anchors
+         alone lose sub-hop-s offsets the same way fixed hops do).
+
+    Gain-invariant (energies scale uniformly; argsort order unchanged)."""
+    hop, win = int(hop_s * rate), int(win_s * rate)
+    n_fr = max(0, (len(mono) - win) // hop)
+    if n_fr < 3:
+        return []
+    sq = np.concatenate(([0.0], np.cumsum(mono * mono)))
+    starts = np.arange(n_fr) * hop
+    env = sq[starts + win] - sq[starts]
+    sep = max(1, int(min_sep_s / hop_s))
+    order = np.argsort(env, kind="stable")[::-1]
+    taken = np.zeros(n_fr, dtype=bool)
+    chosen = []
+    for idx in order:
+        if taken[max(0, idx - sep) : idx + sep + 1].any():
+            continue
+        chosen.append(int(idx))
+        taken[idx] = True
+    refined = []
+    for idx in sorted(chosen):
+        p = idx * hop
+        lo, hi = max(0, p - hop), min(len(mono) - win, p + hop)
+        if hi <= lo:
+            refined.append(p)
+            continue
+        seg_starts = np.arange(lo, hi + 1)
+        refined.append(int(lo + np.argmax(sq[seg_starts + win] - sq[seg_starts])))
+    return refined
+
+
+def audio_anchor_hashes(
+    samples: np.ndarray,
+    rate: int,
+    chunk_s: float = 2.0,
+    frames: int = 65,
+    min_rel_energy_std: float = 1e-3,
+    min_sep_s: float = 0.5,
+) -> list[tuple[int, int]]:
+    """Envelope hashes of windows ANCHORED at content-defined positions
+    (:func:`anchor_positions`) instead of a fixed hop grid — the
+    offset-robust chunking mode (``chunking='anchor'`` in audio_dedup).
+
+    Same hash kernel, silence guard, and whole-clip short-circuit as
+    audio_chunk_hashes (short clips are bit-identical between the modes);
+    chunk_idx is the anchor ordinal — partwise matching compares hash
+    VALUES, so index shifts between a clip and its trimmed copy are
+    irrelevant. Windows shorter than chunk_s/2 (anchors near the clip end)
+    are skipped. Measured (BASELINE.md round 5): planted copies at
+    arbitrary 0.3-0.7 s offsets (incl. off-grid) match 30/30 with 0/780
+    false pairs, where the hop kernel matched 0."""
+    mono = _mix_mono(samples)
+    chunk = int(chunk_s * rate)
+    if len(mono) <= chunk:
+        energy = _frame_energies(mono, frames)
+        if _low_information(energy, min_rel_energy_std):
+            return []
+        return [(0, _energies_hash(energy))]
+    out = []
+    for i, a in enumerate(anchor_positions(mono, rate, min_sep_s=min_sep_s)):
+        seg = mono[a : a + chunk]
+        if len(seg) < chunk // 2:
+            continue
+        energy = _frame_energies(seg, frames)
+        if not _low_information(energy, min_rel_energy_std):
+            out.append((i, _energies_hash(energy)))
+    return out

@@ -127,6 +127,7 @@ def audio_dedup(
     hop_s: float = 1.0,
     min_matched_chunks: int = 2,
     on_error: str = "raise",
+    chunking: str = "hop",
 ) -> DataFrame:
     """Cluster audio assets (kind='audio') sharing >= min_matched_chunks
     near-duplicate envelope-hash chunks (functions/audio.audio_chunk_hashes,
@@ -141,6 +142,12 @@ def audio_dedup(
     adaptive threshold (min(min_matched_chunks, n_chunks both sides)) makes
     their matching degenerate to exactly the old whole-clip semantics.
 
+    ``chunking='anchor'`` switches to content-defined windows at envelope
+    peaks (functions/audio.audio_anchor_hashes): copies at ARBITRARY
+    offsets — not just hop multiples — share anchor windows (measured
+    recall 1.0 at 0.3-0.7 s sub-hop offsets where the hop grid finds 0;
+    BASELINE.md round 5). hop_s is ignored in anchor mode.
+
     Returns (asset_id, n_chunks, cluster_id, cluster_size) for members of
     multi-member clusters; cluster_id = min asset_id."""
     from imgdupes_spark.operators.video import partwise_dedup
@@ -149,7 +156,7 @@ def audio_dedup(
     cfg = cfg or DedupeConfig()
     caches: list[DataFrame] = []
     feats = extract_audio_chunk_features(
-        assets, chunk_s, hop_s, on_error=on_error
+        assets, chunk_s, hop_s, on_error=on_error, chunking=chunking
     ).persist()
     try:
         return partwise_dedup(

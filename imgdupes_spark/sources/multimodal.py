@@ -186,6 +186,7 @@ def extract_audio_chunk_features(
     chunk_s: float = 2.0,
     hop_s: float = 1.0,
     on_error: str = "raise",
+    chunking: str = "hop",
 ) -> DataFrame:
     """Decode + chunk + fingerprint audio clips (kind='audio'): one output
     row per overlapping envelope-hash chunk (functions/audio.
@@ -195,10 +196,20 @@ def extract_audio_chunk_features(
     mapInPandas contract; rows are 8-byte id + 4-byte idx + 8-byte hash.
     Under on_error='quarantine' an undecodable clip emits ONE sentinel row
     (chunk_idx=-1, NULL hash) so its identity survives for the quarantine
-    report without ever banding."""
-    from imgdupes_spark.functions.audio import audio_chunk_hashes, decode_audio
+    report without ever banding.
+
+    ``chunking='anchor'`` windows at content-defined envelope peaks instead
+    of the fixed hop grid (functions/audio.audio_anchor_hashes) — robust to
+    ARBITRARY trim offsets where the hop grid only aligns at hop multiples;
+    short clips emit the identical whole-clip row in both modes."""
+    from imgdupes_spark.functions.audio import (
+        audio_anchor_hashes,
+        audio_chunk_hashes,
+        decode_audio,
+    )
 
     assert on_error in ("raise", "quarantine"), on_error
+    assert chunking in ("hop", "anchor"), chunking
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -211,7 +222,11 @@ def extract_audio_chunk_features(
                         raise
                     rows.append((int(aid), -1, None))
                     continue
-                for idx, h in audio_chunk_hashes(samples, rate, chunk_s, hop_s):
+                if chunking == "anchor":
+                    hashes = audio_anchor_hashes(samples, rate, chunk_s)
+                else:
+                    hashes = audio_chunk_hashes(samples, rate, chunk_s, hop_s)
+                for idx, h in hashes:
                     rows.append((int(aid), idx, h))
             # pd.array columns: see extract_image_features — None + int rows
             # through pd.DataFrame coerce to float64 and round 64-bit hashes

@@ -9,8 +9,14 @@ distinct singletons. Half the pairs are LONG clips (6 s) whose variant is a
 hash missed every one); the other half are SHORT clips (0.8 s, one
 whole-clip chunk) whose variant is a 0.6x re-gain — the legacy semantics.
 
-Env: SPARK_GRAFT_MODALITY_N (default 50_000), SPARK_GRAFT_CPUS (default 16).
-Prints one JSON line.
+Round-5 addition (verdict item 8): ids [10k, 15k) are SUB-HOP pairs — 6 s
+clips trimmed by a fractional 0.3-0.7 s offset (including off-grid values).
+Hop-grid chunk alignment is exact only at hop multiples, so these measure
+the offset bound honestly; the run reports recall for BOTH chunking modes
+(fixed hop vs content-defined anchors, SPARK_GRAFT_CHUNKING=both|hop|anchor).
+
+Env: SPARK_GRAFT_MODALITY_N (default 50_000, planted region unchanged),
+SPARK_GRAFT_CPUS (default 16). Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -37,22 +43,30 @@ def synth_assets(spark, n: int):
     from imgdupes_spark.functions.audio import encode_wav
     from imgdupes_spark.sources.multimodal import ASSET_SCHEMA
 
+    SUBHOP_OFFSETS = (0.3, 0.43, 0.5, 0.6181, 0.7)  # incl. off-grid
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
+                subhop = 10_000 <= i < 15_000
                 if i < 10_000:
                     base_seed, variant = i // 2, i % 2
+                elif subhop:
+                    base_seed, variant = 200_000 + (i - 10_000) // 2, i % 2
                 else:
                     base_seed, variant = 100_000 + i, 0
-                long_clip = base_seed % 2 == 0
+                long_clip = subhop or base_seed % 2 == 0
                 r = np.random.default_rng(base_seed)
                 ns = int(6.0 * RATE) if long_clip else 13_000
                 env = np.repeat(r.uniform(0.1, 1.0, ns // 250 + 1), 250)[:ns]
                 clip = (r.standard_normal(ns) * env * 8000).astype(np.int16)
                 if variant == 1:
-                    if long_clip:
+                    if subhop:
+                        off = SUBHOP_OFFSETS[base_seed % len(SUBHOP_OFFSETS)]
+                        clip = clip[int(off * RATE):]  # fractional trim
+                    elif long_clip:
                         clip = clip[RATE:]  # 1s front trim — chunk path only
                     else:
                         clip = (clip * 0.6).astype(np.int16)  # re-gain
@@ -80,31 +94,48 @@ def main() -> None:
 
     n = int(os.environ.get("SPARK_GRAFT_MODALITY_N", "50000"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    modes = {
+        "both": ("hop", "anchor"), "hop": ("hop",), "anchor": ("anchor",)
+    }[os.environ.get("SPARK_GRAFT_CHUNKING", "both")]
     spark = get_spark(master=f"local[{cpus}]", app_name="modality_bench")
     assets = synth_assets(spark, n).persist()
     assets.count()  # materialize outside the timed window (corpus, not engine)
-    t0 = time.time()
-    out = audio_dedup(assets, DedupeConfig(hamming_d=4)).collect()
-    wall = time.time() - t0
-    got = {r.asset_id: r.cluster_id for r in out}
     n_pairs = min(n, 10_000) // 2
-    planted_ok = sum(
-        1 for p in range(n_pairs)
-        if got.get(2 * p) is not None and got.get(2 * p) == got.get(2 * p + 1)
-    )
-    spurious = sum(1 for a in got if a >= 10_000)
+    n_subhop = max(0, (min(n, 15_000) - 10_000)) // 2
     result = {
         "metric": "audio_dedup_clips_per_sec",
-        "value": round(n / wall, 1),
         "unit": "clips/sec",
         "n_assets": n,
-        "sec": round(wall, 1),
-        "planted_pairs_found": planted_ok,
         "planted_pairs_total": n_pairs,
-        "spurious_members": spurious,
-        "n_clusters": len(set(got.values())),
+        "subhop_pairs_total": n_subhop,
         "cpus": cpus,
     }
+    for mode in modes:
+        t0 = time.time()
+        out = audio_dedup(
+            assets, DedupeConfig(hamming_d=4), chunking=mode
+        ).collect()
+        wall = time.time() - t0
+        got = {r.asset_id: r.cluster_id for r in out}
+        planted_ok = sum(
+            1 for p in range(n_pairs)
+            if got.get(2 * p) is not None and got.get(2 * p) == got.get(2 * p + 1)
+        )
+        subhop_ok = sum(
+            1 for p in range(n_subhop)
+            if got.get(10_000 + 2 * p) is not None
+            and got.get(10_000 + 2 * p) == got.get(10_000 + 2 * p + 1)
+        )
+        spurious = sum(1 for a in got if a >= 15_000)
+        result[mode] = {
+            "clips_per_sec": round(n / wall, 1),
+            "sec": round(wall, 1),
+            "planted_pairs_found": planted_ok,
+            "subhop_pairs_found": subhop_ok,
+            "spurious_members": spurious,
+            "n_clusters": len(set(got.values())),
+        }
+    result["value"] = result[modes[0]]["clips_per_sec"]
     assets.unpersist()
     spark.stop()
     print(json.dumps(result))
