@@ -543,6 +543,76 @@ def _q_audio_dedup(spark, sf_dir):
     return out.select("asset_id", "cluster_id", "cluster_size")
 
 
+def _q_audio_dedup_anchor(spark, sf_dir):
+    """Anchor-mode (content-defined chunking) audio dedup on REAL WAV bytes:
+    15 planted groups x 3 variants where variants are FRACTIONAL-OFFSET
+    trims (0.37s / 0.61s — NOT hop multiples; the fixed-hop mode finds none
+    of these by measurement, BASELINE.md round 5). Long 6s clips so the
+    anchored windows exist. Expected clustering is derivable in pure SQL
+    from the doc_id ranks — the oracle checks values (planted recall AND
+    precision), same device as audio_dedup."""
+    import numpy as np
+
+    from imgdupes_spark.functions.audio import encode_wav
+    from imgdupes_spark.operators.images import audio_dedup
+    from imgdupes_spark.sources.multimodal import ASSET_SCHEMA
+
+    rate = 16000
+
+    def mkclip(seed: int, secs: float = 6.0) -> np.ndarray:
+        n = int(secs * rate)
+        r = np.random.default_rng(seed)
+        env = np.repeat(r.uniform(0.1, 1.0, n // 250 + 1), 250)[:n]
+        return (r.standard_normal(n) * env * 8000).astype(np.int16)
+
+    ids = [
+        r.doc_id
+        for r in _docs(_prep(spark), sf_dir)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(45)
+        .collect()
+    ]
+    rows = []
+    for i, did in enumerate(sorted(ids)):
+        g, v = i % 15, i // 15
+        base = mkclip(g)
+        if v == 1:
+            base = base[int(0.37 * rate):]  # off-grid fractional trim
+        elif v == 2:
+            base = (base[int(0.61 * rate):] * 0.7).astype(np.int16)  # + re-gain
+        payload = encode_wav(base, rate)
+        rows.append((int(did), "audio", bytearray(payload), ("audio/wav", len(payload))))
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA).repartition(8)
+    out = audio_dedup(assets, DedupeConfig(hamming_d=4), chunking="anchor")
+    return out.select("asset_id", "cluster_id", "cluster_size")
+
+
+def _q_knn_indexed(spark, sf_dir):
+    """knn_lsh over the PERSISTED RP-bucket index (build_rp_index +
+    knn_lsh_indexed — the probe-service path whose scan is dynamically
+    partition-pruned): builds the index in a scratch dir, probes it, and
+    must return exactly the same top-k as the exact brute-force oracle
+    (identical geometry to the knn_lsh entry, recall 1.0 at this scale)."""
+    import shutil
+    import tempfile
+
+    from imgdupes_spark.operators.knn import build_rp_index, knn_lsh_indexed
+
+    e = _emb(_prep(spark), sf_dir)
+    probes = e.filter(F.col("vec_id") % 100 == 0)
+    idx = tempfile.mkdtemp(prefix="rpidx_")
+    try:
+        build_rp_index(e, 64, idx, n_bits=4, n_tables=16)
+        out = knn_lsh_indexed(
+            spark, idx, probes, 64, k=5, n_bits=4, n_tables=16, multiprobe=1
+        )
+        # materialize before the index dir is removed
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_video_dedup(spark, sf_dir):
     """Video near-dup clustering on REAL Y4M bytes (frame-fingerprint
     matching spec pinned by tests/test_video.py). The first 30 doc_ids
@@ -669,8 +739,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL-expressible, the fixtures' expected outputs are):
         "image_dedup": _q_image_dedup,
         "audio_dedup": _q_audio_dedup,
+        "audio_dedup_anchor": _q_audio_dedup_anchor,
         "video_dedup": _q_video_dedup,
         "cross_modal": _q_cross_modal,
+        "knn_indexed": _q_knn_indexed,
         # value-oracled via the pure-python xxh64 twin embedded as a VALUES
         # literal (_doc_fingerprints_oracle); falls back to rows-only when
         # the fixture parquet is unreadable:
@@ -1004,6 +1076,22 @@ def _static_oracle_sql() -> dict[str, str]:
                    count(*) OVER (PARTITION BY g) AS cluster_size
             FROM ids
         """,
+        # anchor-mode twin: same planted-rank device, fractional-offset
+        # variants (hop mode finds 0 of these — measured, BASELINE.md r5)
+        "audio_dedup_anchor": """
+            WITH ids AS (
+              SELECT doc_id,
+                     (row_number() OVER (ORDER BY doc_id) - 1) % 15 AS g
+              FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 45)
+            )
+            SELECT doc_id AS asset_id,
+                   min(doc_id) OVER (PARTITION BY g) AS cluster_id,
+                   count(*) OVER (PARTITION BY g) AS cluster_size
+            FROM ids
+        """,
+        # the indexed probe path is deterministic with the same geometry as
+        # knn_lsh and reaches recall 1.0 here -> exact top-k SQL is its oracle
+        "knn_indexed": _KNN_SQL,
         "video_dedup": """
             WITH ids AS (
               SELECT doc_id,

@@ -95,26 +95,36 @@ def test_pack64_bit_exact(bits):
 )
 @SMALL
 def test_audio_chunk_hash_properties(clip, gain_div):
-    """Chunked-kernel invariants over arbitrary clips: chunk count follows
-    the window formula, the short-clip fallback is bit-identical to the
-    whole-clip hash, integer gain division is exact per chunk (energies
-    scale together), and a one-hop front trim shifts indices by exactly
-    one."""
-    from imgdupes_spark.functions.audio import audio_chunk_hashes, audio_hash64
+    """Chunked-kernel invariants over arbitrary clips: kept chunks are a
+    position-preserving subset of the window formula's grid (the round-5
+    silence/flat-envelope guard may DROP low-information windows — a
+    silent/flat hypothesis clip legitimately emits nothing), the short-clip
+    fallback is bit-identical to the whole-clip hash when kept, and a
+    one-hop front trim shifts kept indices by exactly one."""
+    from imgdupes_spark.functions.audio import (
+        _frame_energies,
+        _low_information,
+        _mix_mono,
+        audio_chunk_hashes,
+        audio_hash64,
+    )
 
     rate = 16_000
     chunk, hop = 2 * rate, rate
     hs = audio_chunk_hashes(clip, rate)
     if len(clip) <= chunk:
-        assert hs == [(0, audio_hash64(clip))]
+        silent = _low_information(_frame_energies(_mix_mono(clip)), 1e-3)
+        assert hs == ([] if silent else [(0, audio_hash64(clip))])
     else:
-        assert len(hs) == (len(clip) - chunk) // hop + 1
-        assert [i for i, _ in hs] == list(range(len(hs)))
+        n_windows = (len(clip) - chunk) // hop + 1
+        idxs = [i for i, _ in hs]
+        assert idxs == sorted(set(idxs)) and all(0 <= i < n_windows for i in idxs)
         trimmed = dict(audio_chunk_hashes(clip[hop:], rate))
-        for i, h in hs[1:]:
-            if i - 1 in trimmed:
+        for i, h in hs:
+            if i >= 1 and i - 1 in trimmed:
                 assert trimmed[i - 1] == h
     scaled = (clip // gain_div).astype(np.int16)
-    # exact division by a power-free int is NOT gain-exact bitwise (floor
-    # rounding), so only assert the structural properties for scaled:
-    assert len(audio_chunk_hashes(scaled, rate)) == len(hs)
+    # integer floor division is not bit-exact gain scaling, so only the
+    # structural property holds: scaled kept indices stay within the grid
+    n_windows = max(1, (len(clip) - chunk) // hop + 1)
+    assert all(0 <= i < n_windows for i, _ in audio_chunk_hashes(scaled, rate))
