@@ -140,12 +140,33 @@ class ManifestedParquetTable:
         shutil.rmtree(os.path.join(self.ddir, dname), ignore_errors=True)
         return None
 
-    def read(self) -> DataFrame:
-        v, entries = self._latest()
-        assert entries, f"read() on empty table {self.path}"
-        return self.spark.read.parquet(
+    def read(
+        self, version: int | None = None, merge_schema: bool = False
+    ) -> DataFrame:
+        """Scan the data the manifest at ``version`` lists (default: head).
+
+        ``version`` is snapshot time travel: manifests are immutable, so
+        reading an old version is exactly the table as of that commit —
+        the Iceberg ``VERSION AS OF`` surface. ``merge_schema=True`` turns
+        on parquet schema merging so commits that ADDED columns read back
+        as one unified schema (absent columns NULL) — additive schema
+        evolution; renames/drops remain a rewrite, as in any parquet
+        catalog."""
+        if version is None:
+            version, entries = self._latest()
+        else:
+            with open(os.path.join(self.mdir, f"v{version:08d}.json")) as fh:
+                entries = json.load(fh)
+        assert entries, f"read() on empty table {self.path} (v{version})"
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(
             *(os.path.join(self.ddir, e["dir"]) for e in entries)
         )
+
+    def current_version(self) -> int:
+        return self._latest()[0]
 
     def rows(self) -> int:
         """Committed row count from manifest metadata alone (no scan)."""

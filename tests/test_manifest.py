@@ -1,0 +1,94 @@
+"""ManifestedParquetTable unit surface: CAS commits, op-key exactly-once,
+snapshot time travel, additive schema evolution, vacuum (the Iceberg writer
+contract the sandbox emulates — plans/manifest.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from imgdupes_spark.plans.manifest import ManifestedParquetTable
+
+
+def _df(spark, rows, schema="k long, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_overwrite_append_and_opkey_idempotence(spark, tmp_path):
+    t = ManifestedParquetTable(spark, str(tmp_path / "t1"))
+    assert not t.exists()
+    assert t.overwrite(_df(spark, [(1, "a"), (2, "b")])) == 2
+    assert t.exists() and t.rows() == 2
+    assert t.append(_df(spark, [(3, "c")]), op_key="batch3") == 1
+    assert t.rows() == 3 and t.read().count() == 3
+    # the same logical append again is a write-time no-op
+    assert t.append(_df(spark, [(3, "c")]), op_key="batch3") is None
+    assert t.rows() == 3 and t.read().count() == 3
+    assert t.committed_ops() == {"initial", "batch3"}
+
+
+def test_lost_cas_race_is_exactly_once(spark, tmp_path):
+    """Simulate the true interleave: B writes its data BEFORE A's commit
+    becomes visible to B's pre-check, then loses the manifest CAS — B's
+    rows must never become readable and its data dir is removed."""
+    t = ManifestedParquetTable(spark, str(tmp_path / "t2"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    # writer B: data written, commit not yet attempted
+    dname_b, rows_b = t._write_data(_df(spark, [(2, "dup")]), "race")
+    assert rows_b == 1
+    # writer A commits the same op first
+    assert t.append(_df(spark, [(2, "dup")]), op_key="race") == 1
+    # B's commit attempt now loses on the op key
+    assert t._commit({"dir": dname_b, "op_key": "race", "rows": 1}, replace=False) is False
+    assert t.read().count() == 2  # exactly one 'dup' row visible
+    assert t.vacuum() == 1  # B's orphan reclaimed
+    assert t.read().count() == 2
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    t = ManifestedParquetTable(spark, str(tmp_path / "t3"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    v1 = t.current_version()
+    t.append(_df(spark, [(2, "b")]), op_key="second")
+    v2 = t.current_version()
+    assert v2 == v1 + 1
+    # manifests are immutable: v1 still reads exactly the initial table
+    assert t.read(version=v1).count() == 1
+    assert t.read(version=v2).count() == 2
+    assert t.read().count() == 2
+    # overwrite truncates the HEAD but never history
+    t.overwrite(_df(spark, [(9, "z")]), op_key="rewrite")
+    assert t.read().count() == 1
+    assert t.read(version=v2).count() == 2
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    t = ManifestedParquetTable(spark, str(tmp_path / "t4"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    t.append(
+        _df(spark, [(2, "b", 7.5)], schema="k long, v string, score double"),
+        op_key="widened",
+    )
+    out = t.read(merge_schema=True)
+    assert set(out.columns) == {"k", "v", "score"}
+    got = {r.k: r.score for r in out.collect()}
+    assert got[2] == 7.5 and got[1] is None
+
+
+def test_manifest_files_are_append_only_json(spark, tmp_path):
+    t = ManifestedParquetTable(spark, str(tmp_path / "t5"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]), op_key="x")
+    files = sorted(os.listdir(t.mdir))
+    assert files == ["v00000001.json", "v00000002.json"]
+    for f in files:
+        entries = json.load(open(os.path.join(t.mdir, f)))
+        assert all({"dir", "op_key", "rows"} <= set(e) for e in entries)
+
+
+def test_unsafe_opkey_rejected(spark, tmp_path):
+    t = ManifestedParquetTable(spark, str(tmp_path / "t6"))
+    with pytest.raises(AssertionError):
+        t.overwrite(_df(spark, [(1, "a")]), op_key="../escape")
