@@ -1,11 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship near-dup clustering end-to-end on sf0.001;
-``queries``/``oracle_sql`` expose every SQL-expressible operator from
-SURVEY.md §2 (plus the training-data-pipeline extras) for the DuckDB
-cross-check at sf0.01. Non-SQL-expressible ops (pandas-UDF fingerprints, the
-CC loop, LSH internals) appear as rows-only entries and are oracle-tested in
-tests/ instead (pure-Python reference oracle, golden corpora).
+``queries``/``oracle_sql`` expose every operator from SURVEY.md §2 (plus the
+training-data-pipeline extras) for the DuckDB cross-check at sf0.01 — every
+entry carries a VALUE oracle (31/31): directly in SQL where expressible,
+via planted-ground-truth SQL for the perceptual kernels, and via a
+pure-python-twin VALUES literal for the xxhash64 rolling fingerprint.
+Kernel internals are additionally oracle-tested in tests/ (pure-Python
+reference oracle, golden corpora).
 
 Naming rule: every computed column is aliased identically in the Spark plan
 and the SQL string (the driver hashes values under sorted column names).
