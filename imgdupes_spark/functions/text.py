@@ -146,6 +146,62 @@ def ngram_jaccard_cols(a: Column, b: Column, k: int) -> Column:
     return F.round(inter / union, 6)
 
 
+# Secret/PII surface for source-code corpora: conservative, lookaround-free
+# patterns that mean the same thing under Java regex (Spark) and RE2
+# (DuckDB) so the oracle can replay them verbatim. Deliberately high-
+# precision shapes (provider-prefixed ids, PEM headers, long hex runs) —
+# the training-data use is "flag and route to scrub/audit", where a false
+# positive quarantines one doc but a false negative leaks a credential.
+SECRET_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "aws_key": "AKIA[0-9A-Z]{16}",
+    "private_key": "-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "hex_secret": "[0-9a-f]{40,}",
+}
+
+
+def secret_columns(content: Column) -> list[Column]:
+    """Per-kind secret/PII match counts plus an aggregate flag — pure
+    codegen (``regexp_count``), one scan, no UDFs. A code-corpus curation
+    pass runs this next to dedup: docs with ``has_secret`` route to the
+    scrub/audit queue instead of the training feed."""
+    counts = [
+        F.regexp_count(content, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        for kind, pat in sorted(SECRET_PATTERNS.items())
+    ]
+    total = None
+    for c in [
+        F.regexp_count(content, F.lit(p)) for p in SECRET_PATTERNS.values()
+    ]:
+        total = c if total is None else total + c
+    return [*counts, (total > 0).alias("has_secret")]
+
+
+# marker phrase -> license id, checked lowercase; first hit in PRIORITY
+# order wins (a file quoting two licenses is classified by the stronger
+# grant text, deterministically)
+LICENSE_MARKERS = [
+    ("mit", "permission is hereby granted, free of charge"),
+    ("apache-2.0", "licensed under the apache license"),
+    ("gpl", "gnu general public license"),
+    ("bsd", "redistribution and use in source and binary forms"),
+    ("mpl-2.0", "mozilla public license"),
+]
+
+
+def license_guess_col(content: Column) -> Column:
+    """Marker-phrase license detection for source files — the SPDX-style
+    heuristic a code-pretraining pipeline uses to drop or segregate
+    restrictively-licensed files. Deterministic priority order, lowercase
+    contains(), 'unknown' when nothing matches; SQL-expressible so the
+    DuckDB oracle replays it verbatim."""
+    low = F.lower(content)
+    out = F.lit("unknown")
+    for lic, marker in reversed(LICENSE_MARKERS):
+        out = F.when(F.contains(low, F.lit(marker)), F.lit(lic)).otherwise(out)
+    return out
+
+
 def repetition_columns(content: Column) -> list[Column]:
     """Gopher-style repetition signals as pure codegen expressions:
 
