@@ -452,6 +452,26 @@ def _q_license_guess(spark, sf_dir):
     return d.select("doc_id", license_guess_col(planted).alias("license_guess"))
 
 
+def _q_strip_boilerplate(spark, sf_dir):
+    """Corpus-wide boilerplate-line removal (the C4-style curation pass):
+    a generated-file banner is planted on every doc_id % 3 == 0 doc INSIDE
+    the query (same concat in the SQL twin), the hot-line finder must
+    discover it corpus-relationally, and every doc comes back rewritten
+    with exact drop counts. The oracle recomputes hot lines on the line
+    STRINGS (no xxhash64 needed) — trim semantics replayed verbatim."""
+    from imgdupes_spark.operators.boilerplate import strip_boilerplate_lines
+
+    d = _docs(_prep(spark), sf_dir)
+    planted = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("// GENERATED FILE - DO NOT EDIT\n"), F.col("text")),
+    ).otherwise(F.col("text"))
+    docs = d.select("doc_id", planted.alias("text"))
+    return strip_boilerplate_lines(
+        docs, min_docs=50, content_col="text"
+    ).select("doc_id", "text", "n_lines_dropped")
+
+
 def _q_repetition_profile(spark, sf_dir):
     """Gopher-style repetition/boilerplate signals per doc: duplicate-line
     fraction (row count + chars), type/token ratio, top-token share — the
@@ -790,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": _q_repetition_profile,
         "secret_scan": _q_secret_scan,
         "license_guess": _q_license_guess,
+        "strip_boilerplate": _q_strip_boilerplate,
         "probe_exact": _q_probe_exact,
         "kept_corpus": _q_kept_corpus,
         # value-oracled via planted-ground-truth SQL (the kernels are not
@@ -1142,6 +1163,32 @@ def _static_oracle_sql() -> dict[str, str]:
                 WHEN contains(lower(t), 'mozilla public license') THEN 'mpl-2.0'
                 ELSE 'unknown' END AS license_guess
             FROM p
+        """,
+        "strip_boilerplate": """
+            WITH p AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                  THEN '// GENERATED FILE - DO NOT EDIT' || chr(10) || text
+                  ELSE text END AS t
+              FROM documents),
+            tl AS (
+              SELECT doc_id, list_transform(string_split(t, chr(10)),
+                x -> regexp_replace(x, '^\\s+|\\s+$', '')) AS lines
+              FROM p),
+            el AS (SELECT doc_id, unnest(lines) AS ln FROM tl),
+            hot AS (
+              SELECT list(ln) AS hot_list FROM (
+                SELECT ln FROM el WHERE ln <> ''
+                GROUP BY ln HAVING count(DISTINCT doc_id) >= 50)),
+            kept AS (
+              SELECT doc_id, lines,
+                list_filter(lines,
+                  x -> x = '' OR NOT list_contains(coalesce(hot_list, []), x)) AS kl
+              FROM tl CROSS JOIN hot)
+            SELECT doc_id,
+              array_to_string(kl, chr(10)) AS text,
+              CAST(len(lines) - len(kl) AS BIGINT) AS n_lines_dropped
+            FROM kept
         """,
         "kept_corpus": f"""
             WITH {_CORPUS_CTE},

@@ -273,7 +273,8 @@ def repetition_profile(
 
 def text_profile(docs: DataFrame, content_col: str = "content") -> DataFrame:
     """One-pass curation profile: id columns + token count + quality features
-    + language guess."""
+    + language guess + secret/PII counts + license classification — all
+    row-scope codegen, so the whole profile is one scan with zero shuffles."""
     c = F.col(content_col)
     keep = [col for col in docs.columns if col != content_col]
     return docs.select(
@@ -281,4 +282,6 @@ def text_profile(docs: DataFrame, content_col: str = "content") -> DataFrame:
         token_count_col(c).alias("token_count"),
         *quality_columns(c)[2:],  # ratios only; n_chars/n_tokens via their own ops
         lang_id_col(c).alias("lang_guess"),
+        *secret_columns(c),
+        license_guess_col(c).alias("license_guess"),
     )

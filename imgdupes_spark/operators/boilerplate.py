@@ -1,0 +1,97 @@
+"""Corpus-wide boilerplate-line removal: the C4-style curation pass that
+strips lines occurring (near-)verbatim across many documents — license
+headers, nav bars, generated banners — before training.
+
+The reference engine has no corpus-level text surgery (it only groups whole
+files); a training-data pipeline needs it next to dedup, so this extends the
+curation surface the same way decontaminate/repetition_profile do.
+
+Scale shape (the part that matters at 100 TB):
+
+  find  — ONE narrow shuffle: explode to (line_hash: 8 bytes, doc_id) rows,
+          map-side partial-agg countDistinct(doc) per hash, keep hashes
+          present in >= min_docs distinct docs. Line TEXT never shuffles;
+          the explode rows are 16 bytes.
+  strip — the hot-hash set is tiny by construction (a line shared by >=
+          min_docs docs is boilerplate; corpora have few of those) and is
+          collected + folded into a whole-stage-codegen ``isin`` filter
+          over the per-row split — NO second shuffle, no join against the
+          content, each doc rewritten map-side. ``max_hot_lines`` guards
+          the collect: blowing past it is a loud error (wrong min_docs for
+          the corpus), never a silent driver OOM.
+
+Line identity is the raw ``\\n`` split, whitespace-trimmed, hashed with
+xxhash64 — trim parity with the DuckDB oracle is pinned by the driver
+entry; empty lines are never stripped (they are structure, not content).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _trimmed_lines(content: F.Column) -> F.Column:
+    return F.transform(
+        F.split(content, "\n", -1),
+        lambda ln: F.regexp_replace(ln, r"^\s+|\s+$", ""),
+    )
+
+
+def hot_lines(
+    docs: DataFrame,
+    min_docs: int,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(line_hash, n_docs) for every trimmed non-empty line appearing in at
+    least ``min_docs`` DISTINCT documents. One narrow shuffle (16-byte
+    rows); countDistinct because one doc repeating its own line 500 times
+    is repetition (repetition_profile's business), not boilerplate."""
+    lines = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(_trimmed_lines(F.col(content_col))).alias("__ln"),
+    ).filter(F.col("__ln") != "")
+    return (
+        lines.select("__doc", F.xxhash64("__ln").alias("line_hash"))
+        .groupBy("line_hash")
+        .agg(F.countDistinct("__doc").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 10,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    max_hot_lines: int = 1_000_000,
+) -> DataFrame:
+    """Rewrite each doc with its boilerplate lines removed.
+
+    Returns the input columns with ``content_col`` rewritten plus
+    ``n_lines_dropped``. Empty lines survive; a doc that was ALL
+    boilerplate becomes the empty string (route it through the quality
+    gate's too_short rule downstream).
+    """
+    hot = hot_lines(docs, min_docs, id_col, content_col)
+    hashes = [int(r.line_hash) for r in hot.select("line_hash").collect()]
+    if len(hashes) > max_hot_lines:
+        raise ValueError(
+            f"strip_boilerplate_lines: {len(hashes)} hot lines exceeds "
+            f"max_hot_lines={max_hot_lines} — min_docs={min_docs} is too low "
+            "for this corpus (the 'boilerplate' set must be small); raise it"
+        )
+    lines = _trimmed_lines(F.col(content_col))
+    if hashes:
+        kept = F.filter(
+            lines, lambda ln: (ln == "") | ~F.xxhash64(ln).isin(hashes)
+        )
+    else:
+        kept = lines
+    out_cols = [c for c in docs.columns if c != content_col]
+    return docs.select(
+        *out_cols,
+        F.array_join(kept, "\n").alias(content_col),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_dropped"),
+    )

@@ -146,3 +146,36 @@ def test_license_guess_known_values(spark):
     df = spark.createDataFrame(rows, "want string, text string")
     for r in df.select("want", license_guess_col(F.col("text")).alias("got")).collect():
         assert r.got == r.want, (r.want, r.got)
+
+
+def test_strip_boilerplate_lines(spark):
+    """Corpus-level boilerplate-line removal: a header line shared by many
+    docs is stripped everywhere (whitespace-trim-insensitively), unique
+    lines and empty lines survive, per-doc drop counts are exact, and a
+    min_docs above the corpus leaves everything alone."""
+    from imgdupes_spark.operators.boilerplate import (
+        hot_lines,
+        strip_boilerplate_lines,
+    )
+
+    hdr = "// GENERATED - DO NOT EDIT"
+    rows = [(i, f"  {hdr}  \nunique line {i}\n\nbody {i}") for i in range(6)]
+    rows.append((99, "no header here\njust content"))
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+
+    assert hot_lines(docs, min_docs=6).count() == 1
+    out = {r.doc_id: r for r in strip_boilerplate_lines(docs, min_docs=6).collect()}
+    for i in range(6):
+        assert out[i].content == f"unique line {i}\n\nbody {i}"
+        assert out[i].n_lines_dropped == 1
+    assert out[99].content == "no header here\njust content"
+    assert out[99].n_lines_dropped == 0
+
+    untouched = strip_boilerplate_lines(docs, min_docs=50).collect()
+    assert all(r.n_lines_dropped == 0 for r in untouched)
+
+    # guard: a hot-line set larger than max_hot_lines is a loud error
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hot_lines"):
+        strip_boilerplate_lines(docs, min_docs=1, max_hot_lines=2)
