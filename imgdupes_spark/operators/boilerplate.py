@@ -65,7 +65,7 @@ def strip_boilerplate_lines(
     min_docs: int = 10,
     id_col: str = "doc_id",
     content_col: str = "content",
-    max_hot_lines: int = 1_000_000,
+    max_literal_lines: int = 4096,
 ) -> DataFrame:
     """Rewrite each doc with its boilerplate lines removed.
 
@@ -73,25 +73,67 @@ def strip_boilerplate_lines(
     ``n_lines_dropped``. Empty lines survive; a doc that was ALL
     boilerplate becomes the empty string (route it through the quality
     gate's too_short rule downstream).
-    """
+
+    Strategy auto-switch (size the plan, not the hope): hot sets up to
+    ``max_literal_lines`` fold into a whole-stage-codegen ``isin`` over the
+    per-row split — NO second shuffle, each doc rewritten map-side (the
+    common case: real corpora have few lines shared by >= min_docs docs).
+    A larger hot set would serialize a multi-MB plan and knock the filter
+    out of codegen, so the dense case switches to the join formulation:
+    explode (doc, pos, line), broadcast LEFT ANTI join against the hot-hash
+    table, reassemble per doc with a sort-free array_sort(collect_list) —
+    one content-bearing shuffle, which is inherent when rewriting against
+    an unbounded rule set. Results are identical (pinned by tests)."""
     hot = hot_lines(docs, min_docs, id_col, content_col)
-    hashes = [int(r.line_hash) for r in hot.select("line_hash").collect()]
-    if len(hashes) > max_hot_lines:
-        raise ValueError(
-            f"strip_boilerplate_lines: {len(hashes)} hot lines exceeds "
-            f"max_hot_lines={max_hot_lines} — min_docs={min_docs} is too low "
-            "for this corpus (the 'boilerplate' set must be small); raise it"
-        )
+    hashes = [int(r.line_hash) for r in hot.select("line_hash").limit(
+        max_literal_lines + 1
+    ).collect()]
     lines = _trimmed_lines(F.col(content_col))
-    if hashes:
-        kept = F.filter(
-            lines, lambda ln: (ln == "") | ~F.xxhash64(ln).isin(hashes)
-        )
-    else:
-        kept = lines
     out_cols = [c for c in docs.columns if c != content_col]
-    return docs.select(
+
+    if len(hashes) <= max_literal_lines:
+        if hashes:
+            kept = F.filter(
+                lines, lambda ln: (ln == "") | ~F.xxhash64(ln).isin(hashes)
+            )
+        else:
+            kept = lines
+        return docs.select(
+            *out_cols,
+            F.array_join(kept, "\n").alias(content_col),
+            (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_dropped"),
+        )
+
+    # dense hot set: broadcast anti-join path. The join key is a pure
+    # equality on the line hash (empty lines get a NULL key, and NULL never
+    # equals — they survive the anti-join) so the plan is a
+    # BroadcastHashJoin, never a nested-loop over a mixed condition.
+    exploded = docs.select(
         *out_cols,
-        F.array_join(kept, "\n").alias(content_col),
-        (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_dropped"),
+        F.size(lines).cast("long").alias("__n_lines"),
+        F.posexplode_outer(lines).alias("__pos", "__ln"),
+    ).withColumn(
+        "__lh", F.when(F.col("__ln") != "", F.xxhash64("__ln"))
+    )
+    kept_rows = exploded.join(
+        F.broadcast(hot.select(F.col("line_hash").alias("__lh"))),
+        ["__lh"],
+        "left_anti",
+    )
+    return (
+        kept_rows.groupBy(*out_cols, "__n_lines")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__ln"))
+            ).alias("__kept"),
+        )
+        .select(
+            *out_cols,
+            F.array_join(
+                F.transform(F.col("__kept"), lambda s: s["__ln"]), "\n"
+            ).alias(content_col),
+            (F.col("__n_lines") - F.size("__kept")).cast("long").alias(
+                "n_lines_dropped"
+            ),
+        )
     )

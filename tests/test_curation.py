@@ -174,8 +174,23 @@ def test_strip_boilerplate_lines(spark):
     untouched = strip_boilerplate_lines(docs, min_docs=50).collect()
     assert all(r.n_lines_dropped == 0 for r in untouched)
 
-    # guard: a hot-line set larger than max_hot_lines is a loud error
-    import pytest
-
-    with pytest.raises(ValueError, match="max_hot_lines"):
-        strip_boilerplate_lines(docs, min_docs=1, max_hot_lines=2)
+    # dense-hot-set strategy (broadcast anti-join + positional reassembly)
+    # must agree byte-for-byte with the codegen isin path — force it by
+    # dropping the literal threshold below the hot count
+    lit_rows = sorted(
+        map(tuple, strip_boilerplate_lines(docs, min_docs=6).collect())
+    )
+    join_rows = sorted(
+        map(
+            tuple,
+            strip_boilerplate_lines(docs, min_docs=6, max_literal_lines=0).collect(),
+        )
+    )
+    assert lit_rows == join_rows
+    # the join path's plan really is a broadcast hash anti-join (no
+    # nested-loop fallback from a mixed join condition)
+    plan = strip_boilerplate_lines(
+        docs, min_docs=6, max_literal_lines=0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
