@@ -149,14 +149,18 @@ def stream_quality_gate(
     max_dup_line_frac: float = 0.9,
     min_distinct_token_ratio: float = 0.1,
     available_now: bool = True,
+    reject_secrets: bool = False,
 ) -> StreamingQuery:
     """Streaming quality gate: score every arriving doc with the per-row
-    curation signals (token count, repetition fractions, type/token ratio)
-    and stamp a ``reject_reason`` — NULL for accepted docs, else the first
-    failing rule ('null_content' | 'too_short' | 'dup_lines' |
+    curation signals (token count, repetition fractions, type/token ratio,
+    and — with ``reject_secrets`` — the secret/PII scan) and stamp a
+    ``reject_reason`` — NULL for accepted docs, else the first failing rule
+    ('null_content' | 'secret' | 'too_short' | 'dup_lines' |
     'repetitive'). One appended
     table; consumers filter ``reject_reason IS NULL`` for the training feed
-    and the rest for the audit queue.
+    and the rest for the audit queue. The secret rule fires before the
+    quality rules: a credential-bearing doc must reach the scrub queue even
+    when it would also fail a softer rule.
 
     All signals are pure codegen column expressions (functions/text.py), so
     the stream stays STATELESS — exactly-once per input file via the
@@ -164,7 +168,11 @@ def stream_quality_gate(
     needs a per-doc frequency mode — an aggregation — so the batch
     repetition_profile covers it; the gate uses only row-scope signals.)
     """
-    from imgdupes_spark.functions.text import repetition_columns, token_count_col
+    from imgdupes_spark.functions.text import (
+        repetition_columns,
+        secret_columns,
+        token_count_col,
+    )
 
     corpus_schema = ", ".join(f"{c} string" for c in CORPUS_COLUMNS)
     stream = (
@@ -179,15 +187,18 @@ def stream_quality_gate(
         "*",
         token_count_col(c).alias("token_count"),
         *repetition_columns(c),
+        *(secret_columns(c) if reject_secrets else []),
     )
     # NULL content first: every downstream signal is NULL for such a row, so
     # every threshold when() would evaluate to NULL and the degenerate doc
     # would be silently ADMITTED (NULL reject_reason = accepted) — the
     # round-3 advice item. Reject it explicitly before the signal rules.
+    rule = F.when(c.isNull(), "null_content")
+    if reject_secrets:
+        rule = rule.when(F.col("has_secret"), "secret")
     gated = scored.withColumn(
         "reject_reason",
-        F.when(c.isNull(), "null_content")
-        .when(F.col("token_count") < min_tokens, "too_short")
+        rule.when(F.col("token_count") < min_tokens, "too_short")
         .when(F.col("dup_line_frac") > max_dup_line_frac, "dup_lines")
         .when(
             F.col("distinct_token_ratio") < min_distinct_token_ratio, "repetitive"
