@@ -76,26 +76,25 @@ class DedupePipeline:
             return os.path.join(self.workdir, f"{stage}_{self.fp}")
         return os.path.join(self.workdir, f"{stage}_{self.fp}_{self.data_fp}")
 
+    def _tbl(self, stage: str):
+        from imgdupes_spark.plans.manifest import ManifestedParquetTable
+
+        return ManifestedParquetTable(self.spark, self._path(stage))
+
     def _exists(self, stage: str) -> bool:
-        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+        return self._tbl(stage).exists()
 
     def _read(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(stage))
+        return self._tbl(stage).read()
 
     def _write(self, stage: str, df: DataFrame) -> tuple[DataFrame, int]:
-        """Write the checkpoint and return (reader, rows). The row count is
-        observed on the write action itself (df.observe) — no second pass."""
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-            "overwrite"
-        ).parquet(self._path(stage))
-        rows = int(obs.get["rows"])
-        # sidecar row count (underscore-prefixed: invisible to the parquet
-        # reader) so a resumed stage doesn't need a count job (_record)
-        with open(os.path.join(self._path(stage), "_ROWS"), "w") as fh:
-            fh.write(str(rows))
+        """Commit the checkpoint through the atomic-manifest table and
+        return (reader, rows). EVERY stage gets snapshot isolation this
+        way, not just signatures: a reader resolving the stage mid-rewrite
+        sees the previous committed version, never a half-written
+        directory, and the commit's row count rides in the manifest (no
+        second pass, no sidecar file)."""
+        rows = self._tbl(stage).overwrite(df)
         return self._read(stage), rows
 
     def _record(
@@ -126,11 +125,9 @@ class DedupePipeline:
     def _stage(self, name: str, compute, resume: bool) -> DataFrame:
         t0 = time.time()
         if resume and self._exists(name):
-            rows = None
-            rows_file = os.path.join(self._path(name), "_ROWS")
-            if os.path.exists(rows_file):  # avoids a count job per resumed stage
-                with open(rows_file) as fh:
-                    rows = int(fh.read())
+            # manifest metadata carries the committed row count — a resumed
+            # stage never needs a count job
+            rows = self._tbl(name).rows()
             return self._record(name, self._read(name), t0, resumed=True, rows=rows)
         df, rows = self._write(name, compute())
         return self._record(name, df, t0, resumed=False, rows=rows)
