@@ -462,10 +462,20 @@ def _q_strip_boilerplate(spark, sf_dir):
     from imgdupes_spark.operators.boilerplate import strip_boilerplate_lines
 
     d = _docs(_prep(spark), sf_dir)
+    # Both planted lines carry LEADING AND TRAILING whitespace so the
+    # both-side trim is exercised in hot-line discovery (the padded banner
+    # must still collapse to one hot identity) AND in the rebuilt text (the
+    # unique tail line survives, trimmed) — a single-side-only trim in
+    # either twin diverges here instead of passing by fixture luck.
     planted = F.when(
         F.col("doc_id") % 3 == 0,
-        F.concat(F.lit("// GENERATED FILE - DO NOT EDIT\n"), F.col("text")),
+        F.concat(
+            F.lit("  // GENERATED FILE - DO NOT EDIT  \n"), F.col("text")
+        ),
     ).otherwise(F.col("text"))
+    planted = F.concat(
+        planted, F.lit("\n  tail "), F.col("doc_id").cast("string"), F.lit("  ")
+    )
     docs = d.select("doc_id", planted.alias("text"))
     return strip_boilerplate_lines(
         docs, min_docs=50, content_col="text"
@@ -1167,13 +1177,14 @@ def _static_oracle_sql() -> dict[str, str]:
         "strip_boilerplate": """
             WITH p AS (
               SELECT doc_id,
-                CASE WHEN doc_id % 3 = 0
-                  THEN '// GENERATED FILE - DO NOT EDIT' || chr(10) || text
-                  ELSE text END AS t
+                (CASE WHEN doc_id % 3 = 0
+                  THEN '  // GENERATED FILE - DO NOT EDIT  ' || chr(10) || text
+                  ELSE text END)
+                || chr(10) || '  tail ' || CAST(doc_id AS VARCHAR) || '  ' AS t
               FROM documents),
             tl AS (
               SELECT doc_id, list_transform(string_split(t, chr(10)),
-                x -> regexp_replace(x, '^\\s+|\\s+$', '')) AS lines
+                x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')) AS lines
               FROM p),
             el AS (SELECT doc_id, unnest(lines) AS ln FROM tl),
             hot AS (

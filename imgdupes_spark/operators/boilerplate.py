@@ -13,12 +13,17 @@ Scale shape (the part that matters at 100 TB):
           present in >= min_docs distinct docs. Line TEXT never shuffles;
           the explode rows are 16 bytes.
   strip — the hot-hash set is tiny by construction (a line shared by >=
-          min_docs docs is boilerplate; corpora have few of those) and is
-          collected + folded into a whole-stage-codegen ``isin`` filter
-          over the per-row split — NO second shuffle, no join against the
-          content, each doc rewritten map-side. ``max_hot_lines`` guards
-          the collect: blowing past it is a loud error (wrong min_docs for
-          the corpus), never a silent driver OOM.
+          min_docs docs is boilerplate; corpora have few of those). It is
+          driver-collected ONCE — the same materialization any broadcast
+          join performs — and the strategy auto-switches on its size:
+          up to ``max_literal_lines`` hashes fold into a whole-stage-
+          codegen ``isin`` filter over the per-row split (NO second
+          shuffle, each doc rewritten map-side); a denser set would
+          serialize a multi-MB plan and knock the filter out of codegen,
+          so it becomes a broadcast LEFT ANTI join + positional
+          reassembly instead. Either way the hot-line aggregation runs
+          exactly once (the dense plan re-reads the collected set as a
+          LocalTableScan, never re-aggregates — plan-pinned in tests).
 
 Line identity is the raw ``\\n`` split, whitespace-trimmed, hashed with
 xxhash64 — trim parity with the DuckDB oracle is pinned by the driver
@@ -81,13 +86,23 @@ def strip_boilerplate_lines(
     A larger hot set would serialize a multi-MB plan and knock the filter
     out of codegen, so the dense case switches to the join formulation:
     explode (doc, pos, line), broadcast LEFT ANTI join against the hot-hash
-    table, reassemble per doc with a sort-free array_sort(collect_list) —
-    one content-bearing shuffle, which is inherent when rewriting against
-    an unbounded rule set. Results are identical (pinned by tests)."""
-    hot = hot_lines(docs, min_docs, id_col, content_col)
-    hashes = [int(r.line_hash) for r in hot.select("line_hash").limit(
-        max_literal_lines + 1
-    ).collect()]
+    set (re-read as a LocalTableScan from the single driver collect — the
+    hot-line aggregation never runs twice), reassemble per doc with a
+    sort-free array_sort(collect_list), then LEFT JOIN the aggregation back
+    onto the doc spine so a doc whose every line is boilerplate survives as
+    the empty string (the operator's motivating case: pure license-header
+    files). One content-bearing shuffle, which is inherent when rewriting
+    against an unbounded rule set. Results are identical (pinned by
+    tests)."""
+    # Driver-materialize the hot set exactly once. A broadcast join would
+    # collect it to the driver anyway; doing it eagerly lets one
+    # computation serve both the strategy decision and the strip.
+    hashes = [
+        int(r.line_hash)
+        for r in hot_lines(docs, min_docs, id_col, content_col)
+        .select("line_hash")
+        .collect()
+    ]
     lines = _trimmed_lines(F.col(content_col))
     out_cols = [c for c in docs.columns if c != content_col]
 
@@ -108,31 +123,46 @@ def strip_boilerplate_lines(
     # equality on the line hash (empty lines get a NULL key, and NULL never
     # equals — they survive the anti-join) so the plan is a
     # BroadcastHashJoin, never a nested-loop over a mixed condition.
+    hot_df = docs.sparkSession.createDataFrame(
+        [(h,) for h in hashes], "__lh long"
+    )
     exploded = docs.select(
-        *out_cols,
-        F.size(lines).cast("long").alias("__n_lines"),
-        F.posexplode_outer(lines).alias("__pos", "__ln"),
+        F.col(id_col).alias("__doc"),
+        F.posexplode(lines).alias("__pos", "__ln"),
     ).withColumn(
         "__lh", F.when(F.col("__ln") != "", F.xxhash64("__ln"))
     )
-    kept_rows = exploded.join(
-        F.broadcast(hot.select(F.col("line_hash").alias("__lh"))),
-        ["__lh"],
-        "left_anti",
-    )
-    return (
-        kept_rows.groupBy(*out_cols, "__n_lines")
+    kept_agg = (
+        exploded.join(F.broadcast(hot_df), ["__lh"], "left_anti")
+        .groupBy("__doc")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("__pos", "__ln"))
             ).alias("__kept"),
         )
+    )
+    # Reassemble on the doc spine, not on the surviving rows: a doc whose
+    # lines are ALL boilerplate has zero rows after the anti-join and would
+    # silently vanish from a groupBy-only formulation. The spine carries no
+    # content, so this join shuffles only metadata-width rows.
+    kept_size = F.when(
+        F.col("__kept").isNull(), F.lit(0)
+    ).otherwise(F.size("__kept"))
+    return (
+        docs.select(
+            *out_cols,
+            F.size(lines).cast("long").alias("__n_lines"),
+        )
+        .join(kept_agg, F.col(id_col) == F.col("__doc"), "left")
         .select(
             *out_cols,
-            F.array_join(
-                F.transform(F.col("__kept"), lambda s: s["__ln"]), "\n"
+            F.coalesce(
+                F.array_join(
+                    F.transform(F.col("__kept"), lambda s: s["__ln"]), "\n"
+                ),
+                F.lit(""),
             ).alias(content_col),
-            (F.col("__n_lines") - F.size("__kept")).cast("long").alias(
+            (F.col("__n_lines") - kept_size).cast("long").alias(
                 "n_lines_dropped"
             ),
         )

@@ -19,6 +19,13 @@ resumes cannot double-write — the Iceberg writer contract, jar or no jar.
 Every stage appends a row to <workdir>/metrics: rows, seconds, partitions —
 the per-partition lineage/metrics requirement of the north rule (the Spark
 analogue of the reference's tqdm/Spinner progress surface).
+
+Deployment constraint: the manifest table's commit protocol is os.link /
+os.listdir — atomic on a local POSIX filesystem (where this pipeline runs
+its workdir) but NOT on an object store; an S3/GCS deployment swaps
+ManifestedParquetTable for a real catalog (Iceberg/Delta) behind the same
+overwrite/append/read surface. Documented, not emulated further, because
+this sandbox has no catalog jar (see plans/manifest.py module docstring).
 """
 
 from __future__ import annotations
@@ -93,8 +100,18 @@ class DedupePipeline:
         way, not just signatures: a reader resolving the stage mid-rewrite
         sees the previous committed version, never a half-written
         directory, and the commit's row count rides in the manifest (no
-        second pass, no sidecar file)."""
-        rows = self._tbl(stage).overwrite(df)
+        second pass, no sidecar file).
+
+        After a successful overwrite the previous version's data dir is an
+        orphan (replace=True rewrites only the manifest), so vacuum() runs
+        here to keep repeated runs over one workdir disk-bounded. Safe by
+        the pipeline's contract of one writer per stage path (vacuum is
+        unsafe only concurrent with a live writer — manifest.py:175-179);
+        the append path never vacuums, because a racing resume may be
+        mid-write of its own data dir."""
+        tbl = self._tbl(stage)
+        rows = tbl.overwrite(df)
+        tbl.vacuum()
         return self._read(stage), rows
 
     def _record(
@@ -159,16 +176,32 @@ class DedupePipeline:
             # item 4 — write-time exactly-once; no read-side dedup needed).
             ckpt = sig_tbl.read()
             new, _ = incremental_diff(corpus, ckpt)
+            # Diff-identity op key = count + bit_xor + sum of the per-row
+            # identity hashes. XOR alone is a weak accumulator (duplicate
+            # identities cancel pairwise; colliding-XOR row swaps alias),
+            # and an op-key collision makes append() silently SKIP a
+            # genuinely new diff — adding the modular sum means a forged
+            # match needs simultaneous xor AND sum collisions over the
+            # same row count, pushing accidental aliasing well past the
+            # 64-bit birthday regime of either accumulator alone. The sum
+            # runs over the LOW 32 BITS of each hash so it can never
+            # overflow bigint (2^32 * 2^31 rows < 2^63 — ANSI-safe).
+            ident = F.xxhash64("repo", "path", "commit")
             drow = new.agg(
                 F.count("*").alias("n"),
+                F.coalesce(F.bit_xor(ident), F.lit(0)).alias("h"),
                 F.coalesce(
-                    F.bit_xor(F.xxhash64("repo", "path", "commit")), F.lit(0)
-                ).alias("h"),
+                    F.sum(ident.bitwiseAND(F.lit(0xFFFFFFFF))), F.lit(0)
+                ).alias("s"),
             ).collect()[0]
             if drow.n:
                 sig_tbl.append(
                     signatures(new, cfg),
-                    op_key=f"a{drow.n}x{drow.h & 0xFFFFFFFFFFFFFFFF:016x}",
+                    op_key=(
+                        f"a{drow.n}"
+                        f"x{drow.h & 0xFFFFFFFFFFFFFFFF:016x}"
+                        f"s{int(drow.s) & 0xFFFFFFFFFFFFFFFF:016x}"
+                    ),
                 )
             keys = ["repo", "path", "commit"]
             sig = sig_tbl.read().join(corpus.select(*keys), keys, "left_semi")

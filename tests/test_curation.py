@@ -161,6 +161,10 @@ def test_strip_boilerplate_lines(spark):
     hdr = "// GENERATED - DO NOT EDIT"
     rows = [(i, f"  {hdr}  \nunique line {i}\n\nbody {i}") for i in range(6)]
     rows.append((99, "no header here\njust content"))
+    # the operator's motivating case: a doc that is NOTHING BUT boilerplate
+    # (a pure license-header/banner file) must survive as the empty string
+    # in BOTH strategies, never silently vanish
+    rows.append((100, f"{hdr}\n  {hdr}"))
     docs = spark.createDataFrame(rows, "doc_id long, content string")
 
     assert hot_lines(docs, min_docs=6).count() == 1
@@ -170,6 +174,8 @@ def test_strip_boilerplate_lines(spark):
         assert out[i].n_lines_dropped == 1
     assert out[99].content == "no header here\njust content"
     assert out[99].n_lines_dropped == 0
+    assert out[100].content == ""
+    assert out[100].n_lines_dropped == 2
 
     untouched = strip_boilerplate_lines(docs, min_docs=50).collect()
     assert all(r.n_lines_dropped == 0 for r in untouched)
@@ -188,9 +194,13 @@ def test_strip_boilerplate_lines(spark):
     )
     assert lit_rows == join_rows
     # the join path's plan really is a broadcast hash anti-join (no
-    # nested-loop fallback from a mixed join condition)
+    # nested-loop fallback from a mixed join condition), and the hot-line
+    # aggregation (the only countDistinct in the operator) is NOT
+    # recomputed inside the strip plan — the collected hot set re-enters
+    # as a local relation
     plan = strip_boilerplate_lines(
         docs, min_docs=6, max_literal_lines=0
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "distinct" not in plan.lower()

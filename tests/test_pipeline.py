@@ -34,6 +34,18 @@ def test_resume_idempotence(spark, cfg, small_corpus, tmp_path):
     assert set(met.stage) == {"signatures", "edges", "components", "members"}
     assert len(met) == 8
 
+    # disk is BOUNDED across repeated non-resumed runs: every overwrite
+    # commit vacuums the orphaned previous version, so each stage path
+    # holds exactly one live data dir no matter how often it is rewritten
+    import os
+
+    p3 = DedupePipeline(spark, cfg, wd)
+    m3 = _members_key(p3.run(small_corpus, resume=False))
+    assert m1 == m3
+    for stage in ("edges", "components", "members"):
+        ddir = os.path.join(p3._path(stage), "data")
+        assert len(os.listdir(ddir)) == 1, stage
+
 
 def _sig_parts(wd: str, fp: str) -> dict[str, int]:
     import os
