@@ -28,6 +28,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         SPARK_GRAFT_BENCH_N=os.environ.get("SPARK_GRAFT_BENCH_N", "1600000"),
         SPARK_GRAFT_BENCH_FULL=os.environ.get("SPARK_GRAFT_BENCH_FULL", "0"),
         SPARK_GRAFT_PROTOCOL_REPEATS="0",  # legs time ONLY the headline e2e
+        SPARK_GRAFT_E2E_REPEATS="1",  # this script already alternates legs
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
