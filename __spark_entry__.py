@@ -624,7 +624,10 @@ def _q_audio_dedup(spark, sf_dir):
         payload = encode_wav(base)
         rows.append((int(did), "audio", bytearray(payload), ("audio/wav", len(payload))))
     assets = spark.createDataFrame(rows, ASSET_SCHEMA).repartition(8)
-    out = audio_dedup(assets, DedupeConfig(hamming_d=4))
+    # chunking='hop' explicitly: this entry pins the fixed-hop path now
+    # that anchor is the default (shorts are mode-identical, but the pin
+    # keeps hop oracle-covered if the fixture ever grows long clips)
+    out = audio_dedup(assets, DedupeConfig(hamming_d=4), chunking="hop")
     return out.select("asset_id", "cluster_id", "cluster_size")
 
 

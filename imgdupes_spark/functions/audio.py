@@ -234,12 +234,28 @@ def audio_chunk_hashes(
     return out
 
 
+def _rolling_max(x: np.ndarray, radius: int) -> np.ndarray:
+    """max(x[i-radius : i+radius+1]) for every i — van Herk/Gil-Werman
+    two-pass block algorithm, O(n) and fully vectorized (no O(n*radius)
+    window materialization, so hour-long clips stay cheap)."""
+    w = 2 * radius + 1
+    n = len(x)
+    xp = np.concatenate([np.full(radius, -np.inf), x, np.full(radius, -np.inf)])
+    nb = -(-len(xp) // w)
+    xb = np.concatenate([xp, np.full(nb * w - len(xp), -np.inf)]).reshape(nb, w)
+    pref = np.maximum.accumulate(xb, axis=1).ravel()
+    suff = np.maximum.accumulate(xb[:, ::-1], axis=1)[:, ::-1].ravel()
+    i = np.arange(n)
+    return np.maximum(suff[i], pref[i + w - 1])
+
+
 def anchor_positions(
     mono: np.ndarray,
     rate: int,
     hop_s: float = 0.01,
     win_s: float = 0.05,
     min_sep_s: float = 0.5,
+    margin: float = 0.15,
 ) -> list[int]:
     """Sample positions of the clip's energy-envelope peaks — CONTENT-
     DEFINED chunk boundaries (the audio twin of content-defined chunking in
@@ -249,16 +265,34 @@ def anchor_positions(
     for any offset that is not a hop multiple (measured: sub-hop offsets
     give ~0 recall through the hop kernel, BASELINE.md round 5).
 
-    Two stages, both shift-equivariant:
-      1. coarse: ``win_s`` moving energies on a ``hop_s`` grid (prefix-sum,
-         O(n)); greedy peak picking by height with ``min_sep_s`` minimum
-         separation (stable order — deterministic under energy ties).
-      2. refine: each coarse peak is snapped to the argmax of the EXACT
-         moving energy within +-hop samples — sample-accurate, so off-grid
-         offsets land on the same content position (grid-quantized anchors
-         alone lose sub-hop-s offsets the same way fixed hops do).
+    Selection must itself be shift-STABLE, not just shift-equivariant:
+    an off-grid trim resamples the coarse envelope at a different phase,
+    perturbing peak heights by a fraction of a percent. The round-5 greedy
+    pick-by-height with min-sep exclusion cascaded on such perturbations —
+    two near-equal peaks inside one separation window flip winner with grid
+    phase, and every subsequent exclusion decision shifts (the diagnosed
+    2/2,500 sub-hop misses, both at the off-grid 0.6181 s offset). Any
+    winner-take-all rule has this instability at marginal ties, so ties are
+    not broken at all:
 
-    Gain-invariant (energies scale uniformly; argsort order unchanged)."""
+      1. coarse: ``win_s`` moving energies on a ``hop_s`` grid (prefix-sum,
+         O(n)); a position is an anchor iff it is a local maximum over the
+         narrow +-``min_sep_s``/8 window AND within ``margin`` (relative)
+         of the max over the wide +-``min_sep_s`` window — near-tied peaks
+         BOTH qualify on both grids, so a marginal flip costs nothing.
+         Anchor density stays bounded: qualifying peaks must carry >=
+         (1-margin) of their neighborhood max (measured: 12 vs 9 anchors
+         per 6 s clip against the greedy rule).
+      2. refine: each coarse anchor is snapped to the argmax of the EXACT
+         moving energy within +-2*hop samples — sample-accurate, so
+         off-grid offsets land on the same content position (the 2*hop
+         reach covers the one-cell coarse disagreement two phase-shifted
+         grids can exhibit).
+
+    Gain-invariant (energies scale uniformly; the relative margin and both
+    rolling maxima are scale-free). Measured (scripts/modality_bench.py):
+    2,500/2,500 planted sub-hop pairs (was 2,498 under greedy), 0 spurious
+    pairs among unrelated clips."""
     hop, win = int(hop_s * rate), int(win_s * rate)
     n_fr = max(0, (len(mono) - win) // hop)
     if n_fr < 3:
@@ -267,18 +301,22 @@ def anchor_positions(
     starts = np.arange(n_fr) * hop
     env = sq[starts + win] - sq[starts]
     sep = max(1, int(min_sep_s / hop_s))
-    order = np.argsort(env, kind="stable")[::-1]
-    taken = np.zeros(n_fr, dtype=bool)
-    chosen = []
-    for idx in order:
-        if taken[max(0, idx - sep) : idx + sep + 1].any():
-            continue
-        chosen.append(int(idx))
-        taken[idx] = True
+    narrow = max(1, sep // 8)
+    near_window_max = env >= (1.0 - margin) * _rolling_max(env, sep)
+    local_peak = env >= _rolling_max(env, narrow)
+    # plateau dedupe (exact float ties only — e.g. repeated content):
+    # candidates closer than the narrow radius refine into the same sample
+    # window, keep the first
+    chosen: list[int] = []
+    last = -(10**18)
+    for idx in np.flatnonzero(local_peak & near_window_max):
+        if idx - last > narrow:
+            chosen.append(int(idx))
+            last = idx
     refined = []
-    for idx in sorted(chosen):
+    for idx in chosen:
         p = idx * hop
-        lo, hi = max(0, p - hop), min(len(mono) - win, p + hop)
+        lo, hi = max(0, p - 2 * hop), min(len(mono) - win, p + 2 * hop)
         if hi <= lo:
             refined.append(p)
             continue

@@ -127,26 +127,33 @@ def audio_dedup(
     hop_s: float = 1.0,
     min_matched_chunks: int = 2,
     on_error: str = "raise",
-    chunking: str = "hop",
+    chunking: str = "anchor",
 ) -> DataFrame:
     """Cluster audio assets (kind='audio') sharing >= min_matched_chunks
-    near-duplicate envelope-hash chunks (functions/audio.audio_chunk_hashes,
-    Hamming <= cfg.hamming_d per chunk) — the video frame pattern applied to
-    audio (operators/video.partwise_dedup), so TRIMMED and PADDED copies
-    match on the chunks that cover the same audio, not just re-gained
-    same-duration copies. Alignment is exact for offsets that are multiples
-    of ``hop_s``; sub-hop offsets lean on the per-chunk Hamming tolerance.
+    near-duplicate envelope-hash chunks (Hamming <= cfg.hamming_d per
+    chunk) — the video frame pattern applied to audio
+    (operators/video.partwise_dedup), so TRIMMED and PADDED copies match on
+    the chunks that cover the same audio, not just re-gained same-duration
+    copies.
+
+    The default ``chunking='anchor'`` windows at content-defined envelope
+    peaks (functions/audio.audio_anchor_hashes): copies at ARBITRARY
+    offsets share anchor windows (measured recall 2,500/2,500 at 0.3-0.7 s
+    offsets incl. off-grid, 0 spurious; offset-rich sweep pinned in
+    tests/test_audio.py). hop_s is ignored in anchor mode.
+
+    ``chunking='hop'`` takes fixed ``chunk_s`` windows every ``hop_s``
+    (functions/audio.audio_chunk_hashes): alignment is exact ONLY for
+    offsets that are multiples of ``hop_s`` — sub-hop offsets measure ~0
+    recall (BASELINE.md round 5), which is why it is no longer the
+    default. It remains for bit-stable reproduction of grid-aligned runs
+    and costs ~proportionally fewer hash rows on peak-dense audio.
 
     Clips not longer than one chunk emit a single whole-clip chunk whose
-    hash is bit-identical to the round-3 whole-clip audio_hash64, and the
-    adaptive threshold (min(min_matched_chunks, n_chunks both sides)) makes
-    their matching degenerate to exactly the old whole-clip semantics.
-
-    ``chunking='anchor'`` switches to content-defined windows at envelope
-    peaks (functions/audio.audio_anchor_hashes): copies at ARBITRARY
-    offsets — not just hop multiples — share anchor windows (measured
-    recall 1.0 at 0.3-0.7 s sub-hop offsets where the hop grid finds 0;
-    BASELINE.md round 5). hop_s is ignored in anchor mode.
+    hash is bit-identical to the round-3 whole-clip audio_hash64 in BOTH
+    modes, and the adaptive threshold (min(min_matched_chunks, n_chunks
+    both sides)) makes their matching degenerate to exactly the old
+    whole-clip semantics.
 
     Returns (asset_id, n_chunks, cluster_id, cluster_size) for members of
     multi-member clusters; cluster_id = min asset_id."""

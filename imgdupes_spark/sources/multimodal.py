@@ -186,7 +186,7 @@ def extract_audio_chunk_features(
     chunk_s: float = 2.0,
     hop_s: float = 1.0,
     on_error: str = "raise",
-    chunking: str = "hop",
+    chunking: str = "anchor",
 ) -> DataFrame:
     """Decode + chunk + fingerprint audio clips (kind='audio'): one output
     row per overlapping envelope-hash chunk (functions/audio.
@@ -198,10 +198,11 @@ def extract_audio_chunk_features(
     (chunk_idx=-1, NULL hash) so its identity survives for the quarantine
     report without ever banding.
 
-    ``chunking='anchor'`` windows at content-defined envelope peaks instead
-    of the fixed hop grid (functions/audio.audio_anchor_hashes) — robust to
-    ARBITRARY trim offsets where the hop grid only aligns at hop multiples;
-    short clips emit the identical whole-clip row in both modes."""
+    ``chunking='anchor'`` (the default) windows at content-defined envelope
+    peaks instead of the fixed hop grid (functions/audio.
+    audio_anchor_hashes) — robust to ARBITRARY trim offsets where the hop
+    grid only aligns at hop multiples; short clips emit the identical
+    whole-clip row in both modes."""
     from imgdupes_spark.functions.audio import (
         audio_anchor_hashes,
         audio_chunk_hashes,

@@ -125,8 +125,18 @@ def test_audio_dedup_clusters_trimmed_padded_variants(spark):
     singles = {a for a, t in truth.items() if isinstance(t, str)}
     assert singles.isdisjoint(got)
     assert len(set(got.values())) == 3
-    n_chunks = {r.asset_id: r.n_chunks for r in out}
-    assert n_chunks[0] == 5 and n_chunks[1] == 4 and n_chunks[2] == 6
+    # hop-grid geometry pin (kernel level — the e2e above runs the anchor
+    # default): 6s clip / 2s chunks / 1s hop => 5 windows; 1s trim => 4;
+    # 1s pad => 6
+    from imgdupes_spark.functions.audio import audio_chunk_hashes
+
+    base = mklong(40)
+    assert len(audio_chunk_hashes(base, 16000)) == 5
+    assert len(audio_chunk_hashes(base[16000:], 16000)) == 4
+    assert (
+        len(audio_chunk_hashes(np.concatenate([np.zeros(16000, np.int16), base]), 16000))
+        == 6
+    )
 
 
 def test_audio_dedup_clusters_planted_variants(spark):
@@ -272,5 +282,67 @@ def test_anchor_chunking_matches_subhop_offsets(spark):
     for g in range(3):
         assert got.get(2 * g) == got.get(2 * g + 1) and got.get(2 * g) is not None, g
     assert len(set(got.values())) == 3
-    hop_got = audio_dedup(assets, DedupeConfig(hamming_d=4)).collect()
+    hop_got = audio_dedup(assets, DedupeConfig(hamming_d=4), chunking="hop").collect()
     assert hop_got == [], "hop grid unexpectedly matched sub-hop offsets"
+
+
+def test_anchor_offset_rich_golden_sweep():
+    """The gate for making anchor chunking the DEFAULT (round-5 verdict
+    item 2): kernel-level recall across every offset family on the planted
+    generator, including the marginal-tie regime that cost the greedy
+    selector 2/2,500 sub-hop pairs (both at 0.6181 s — a pair of near-equal
+    envelope peaks inside one min-sep window flipping winner with grid
+    phase; the margin rule hashes both)."""
+    from imgdupes_spark.functions.audio import (
+        audio_anchor_hashes,
+        audio_chunk_hashes,
+        audio_hash64,
+    )
+
+    rate = 16000
+
+    def n_matched(a, b, d=4):
+        ah = [h for _, h in audio_anchor_hashes(a, rate)]
+        bh = [h for _, h in audio_anchor_hashes(b, rate)]
+        return sum(1 for x in bh if any(_ham(x, y) <= d for y in ah))
+
+    for seed in range(60, 66):
+        clip = mklong(seed)
+        variants = {
+            "hop_trim_1s": clip[rate:],
+            "hop_trim_2s": clip[2 * rate:],
+            "subhop_0.3": clip[int(0.3 * rate):],
+            "subhop_offgrid_0.43": clip[int(0.43 * rate):],
+            "subhop_offgrid_0.6181": clip[int(0.6181 * rate):],  # the miss regime
+            "subhop_0.7": clip[int(0.7 * rate):],
+            "pad_front_0.5s": np.concatenate(
+                [np.zeros(int(0.5 * rate), np.int16), clip]
+            ),
+            "regain_0.6": (clip * 0.6).astype(np.int16),
+            "regain_1.5_clipped": np.clip(
+                clip.astype(np.int32) * 3 // 2, -32768, 32767
+            ).astype(np.int16),
+        }
+        for name, v in variants.items():
+            assert n_matched(clip, v) >= 2, (seed, name)
+        # additive noise at ~1% of signal scale
+        r = np.random.default_rng(seed + 7000)
+        noisy = np.clip(
+            clip.astype(np.int32) + (r.standard_normal(len(clip)) * 80).astype(np.int32),
+            -32768,
+            32767,
+        ).astype(np.int16)
+        assert n_matched(clip, noisy) >= 2, (seed, "noise")
+
+    # hop-mode bit-identity for whole-clip shorts is untouched by the
+    # selector change, and both modes still degenerate to audio_hash64
+    for seed in range(10, 14):
+        short = mkclip(seed)
+        whole = [(0, audio_hash64(short))]
+        assert audio_chunk_hashes(short, rate) == whole
+        assert audio_anchor_hashes(short, rate) == whole
+
+    # silence emits no rows in either mode
+    silent = np.zeros(6 * rate, dtype=np.int16)
+    assert audio_chunk_hashes(silent, rate) == []
+    assert audio_anchor_hashes(silent, rate) == []
