@@ -83,3 +83,58 @@ def test_rp_index_probe_is_partition_pruned(spark, tmp_path):
     assert "ArrowEvalPython" not in plan.split("BroadcastExchange")[0], (
         "corpus side of the probe join must be a pure scan"
     )
+
+
+def test_rp_index_geometry_contract(spark, tmp_path):
+    """Round-5 verdict item 4: the (dim, n_bits, n_tables, seed) geometry
+    was a docstring promise — probing with mismatched planes silently
+    returned wrong neighbors. Now the geometry is persisted at build and
+    asserted at probe; a changed corpus trips the fingerprint hook; an
+    index without the sidecar is an error, not a guess."""
+    import json
+    import os
+
+    import pytest
+
+    from imgdupes_spark.operators.knn import build_rp_index, knn_lsh_indexed
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    probes = e.filter(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "rpidx")
+    build_rp_index(e, 64, idx, n_bits=4, n_tables=16)
+    assert json.load(open(os.path.join(idx, "_geometry.json"))) == {
+        "dim": 64,
+        "n_bits": 4,
+        "n_tables": 16,
+        "seed": 42,
+        "corpus": json.load(open(os.path.join(idx, "_geometry.json")))["corpus"],
+    }
+
+    # matching geometry + matching corpus: probes fine
+    ok = knn_lsh_indexed(
+        spark, idx, probes, 64, k=5, n_bits=4, n_tables=16, verify_corpus=e
+    )
+    assert ok.count() > 0
+
+    # every mismatched geometry axis raises before any Spark work
+    for kwargs in (
+        dict(n_bits=6, n_tables=16),
+        dict(n_bits=4, n_tables=8),
+        dict(n_bits=4, n_tables=16, seed=7),
+    ):
+        with pytest.raises(ValueError, match="geometry mismatch"):
+            knn_lsh_indexed(spark, idx, probes, 64, k=5, **kwargs)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        knn_lsh_indexed(spark, idx, probes, 128, k=5, n_bits=4, n_tables=16)
+
+    # stale corpus (one row dropped) trips the fingerprint hook
+    with pytest.raises(ValueError, match="STALE"):
+        knn_lsh_indexed(
+            spark, idx, probes, 64, k=5, n_bits=4, n_tables=16,
+            verify_corpus=e.filter(F.col("vec_id") != 0),
+        )
+
+    # sidecar-less index (pre-contract layout) is a loud error
+    os.remove(os.path.join(idx, "_geometry.json"))
+    with pytest.raises(ValueError, match="no _geometry.json"):
+        knn_lsh_indexed(spark, idx, probes, 64, k=5, n_bits=4, n_tables=16)
