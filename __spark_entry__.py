@@ -797,6 +797,76 @@ def _q_cross_modal(spark, sf_dir):
     return out.select("image_asset_id", "video_asset_id", "frame_idx")
 
 
+def _stream_corpus_src(spark, sf_dir):
+    """Write the deterministic fixture corpus to a fresh tmp tree in the
+    5-string-column corpus shape the streaming readers expect; returns
+    (source_dir, sink_dir, checkpoint_dir). Fresh dirs per call so repeated
+    driver/bench invocations replay the whole stream from a clean
+    checkpoint."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="imgdupes_stream_entry_")
+    src = os.path.join(base, "src")
+    dst = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    _corpus_shape(_docs(spark, sf_dir)).repartition(4).write.parquet(src)
+    return src, dst, ckpt
+
+
+def _q_stream_quality_gate(spark, sf_dir):
+    """Streaming quality gate captured as a batch result (round-5 verdict
+    item 3: the streaming operators were the only data-touching surface with
+    no CORRECTNESS entry): the fixture corpus is staged to a tmp dir, run
+    through stream_quality_gate with trigger=availableNow, and the appended
+    sink is read back — the oracle replays the same stateless rule chain
+    (token count / dup-line fraction / type-token ratio, all integer-ratio
+    doubles so both engines compare identical IEEE values) in SQL."""
+    from imgdupes_spark.streaming.ingest import stream_quality_gate
+
+    spark = _prep(spark)
+    src, dst, ckpt = _stream_corpus_src(spark, sf_dir)
+    stream_quality_gate(spark, src, dst, ckpt).awaitTermination(300)
+    out = spark.read.parquet(dst)
+    return out.select(
+        F.split(F.col("path"), "/").getItem(1).cast("long").alias("doc_id"),
+        F.col("token_count").cast("long").alias("token_count"),
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("distinct_token_ratio", 6).alias("distinct_token_ratio"),
+        F.coalesce(F.col("reject_reason"), F.lit("accepted")).alias("reject_reason"),
+    )
+
+
+def _q_stream_decontamination_gate(spark, sf_dir):
+    """Streaming decontamination gate captured as a batch result: same
+    staging device as _q_stream_quality_gate, same benchmark-gram synthesis
+    as the batch decontaminate entry (30-token prefixes of doc_id % 29 == 3
+    docs), so the oracle is literally the batch decontaminate SQL — the
+    gate must reproduce the batch operator's report row-for-row through the
+    foreachBatch path."""
+    from imgdupes_spark.functions.fingerprints import tokens_col
+    from imgdupes_spark.operators.decontaminate import benchmark_ngrams
+    from imgdupes_spark.streaming.ingest import stream_decontamination_gate
+
+    spark = _prep(spark)
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 29 == 3).select(
+        F.concat_ws(" ", F.slice(tokens_col(F.col("text")), 1, 30)).alias("text")
+    )
+    grams = benchmark_ngrams(bench, k=8)
+    src, dst, ckpt = _stream_corpus_src(spark, sf_dir)
+    stream_decontamination_gate(
+        spark, src, grams, dst, ckpt, ngram_k=8, min_hits=5
+    ).awaitTermination(300)
+    out = spark.read.parquet(dst)
+    return out.select(
+        F.split(F.col("path"), "/").getItem(1).cast("long").alias("doc_id"),
+        "n_grams",
+        "n_hit_grams",
+        F.col("contaminated").cast("long").alias("contaminated"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": _q_exact_dup_clusters,
@@ -838,6 +908,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # literal (_doc_fingerprints_oracle); falls back to rows-only when
         # the fixture parquet is unreadable:
         "doc_fingerprints": _q_doc_fingerprints,
+        # streaming gates captured through trigger=availableNow + sink
+        # read-back (round-5 verdict item 3 — the streaming surface's first
+        # value-level CORRECTNESS entries):
+        "stream_quality_gate": _q_stream_quality_gate,
+        "stream_decontamination_gate": _q_stream_decontamination_gate,
     }
 
 
@@ -864,6 +939,37 @@ def oracle_sql() -> dict[str, str]:
     fp_sql = _doc_fingerprints_oracle()
     if fp_sql is not None:
         out["doc_fingerprints"] = fp_sql
+    # streaming gate oracles: the quality gate replays its stateless rule
+    # chain in SQL (all signals are integer-ratio doubles — bitwise-equal
+    # between engines, so the strict threshold comparisons agree); the
+    # decontamination gate must reproduce the batch decontaminate report
+    # exactly, so its oracle IS that SQL
+    out["stream_quality_gate"] = f"""
+        WITH t AS (
+          SELECT doc_id, text, {_TOKS} AS toks,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, text,
+            CAST(len(toks) AS BIGINT) AS token_count,
+            CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+              / greatest(len(lines), 1) AS dlf,
+            CAST(len(list_distinct(toks)) AS DOUBLE)
+              / greatest(len(toks), 1) AS dtr
+          FROM t
+        )
+        SELECT doc_id, token_count,
+          round(dlf, 6) AS dup_line_frac,
+          round(dtr, 6) AS distinct_token_ratio,
+          coalesce(CASE WHEN text IS NULL THEN 'null_content'
+                        WHEN token_count < 5 THEN 'too_short'
+                        WHEN dlf > 0.9 THEN 'dup_lines'
+                        WHEN dtr < 0.1 THEN 'repetitive' END,
+                   'accepted') AS reject_reason
+        FROM s
+    """
+    out["stream_decontamination_gate"] = out["decontaminate"]
     return out
 
 
