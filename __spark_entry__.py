@@ -858,7 +858,9 @@ def _q_stream_decontamination_gate(spark, sf_dir):
     stream_decontamination_gate(
         spark, src, grams, dst, ckpt, ngram_k=8, min_hits=5
     ).awaitTermination(300)
-    out = spark.read.parquet(dst)
+    from imgdupes_spark.plans.manifest import ManifestedParquetTable
+
+    out = ManifestedParquetTable(spark, dst).read()
     return out.select(
         F.split(F.col("path"), "/").getItem(1).cast("long").alias("doc_id"),
         "n_grams",

@@ -15,9 +15,6 @@ the text LSH uses (operators/lsh._pairs_from_bands) -> exact cosine verify
 
 from __future__ import annotations
 
-import json
-import os
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -176,10 +173,6 @@ def _corpus_fingerprint(vectors: DataFrame, id_col: str) -> dict:
     return {"n": int(row.n or 0), "xor": int(row.x or 0), "sum": int(row.s or 0)}
 
 
-def _geometry_path(index_path: str) -> str:
-    return os.path.join(index_path, "_geometry.json")
-
-
 def build_rp_index(
     vectors: DataFrame,
     dim: int,
@@ -206,19 +199,24 @@ def build_rp_index(
     partition column — plan-asserted in tests/test_plans.py); re-probing
     pays zero corpus UDF work.
 
-    The (dim, n_bits, n_tables, seed) geometry and a corpus fingerprint are
-    persisted in ``_geometry.json`` next to the parquet (round-5 verdict
-    item 4: the contract was a docstring promise — probing with mismatched
-    geometry silently returned wrong neighbors). knn_lsh_indexed asserts
-    the geometry at every probe and can verify the fingerprint; rebuild
-    when either changes."""
+    The index is a ManifestedParquetTable (round-5 verdict item 6: the bare
+    ``mode('overwrite')`` could leave torn state in a crash window that no
+    pipeline stage can anymore). The (dim, n_bits, n_tables, seed) geometry
+    and a corpus fingerprint ride in the commit entry itself
+    (``properties`` — Iceberg's snapshot summary), so geometry and data are
+    ONE atomic CAS: a crashed rebuild leaves the old index with the old
+    geometry intact, never new data under old geometry (the two-file
+    hazard the round-5 ``_geometry.json`` sidecar had). knn_lsh_indexed
+    asserts the geometry at every probe and can verify the fingerprint;
+    rebuild when either changes."""
+    from imgdupes_spark.plans.manifest import ManifestedParquetTable
+
     buckets = make_rp_buckets_udf(dim, n_bits, n_tables, seed)
     v_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     corpus = vectors.select(
         F.col(id_col).alias("neighbor_id"), v_d.alias("v"),
         F.explode(buckets(F.col(vec_col))).alias("b"),
     )
-    corpus.write.partitionBy("b").mode("overwrite").parquet(path)
     geometry = {
         "dim": dim,
         "n_bits": n_bits,
@@ -226,8 +224,12 @@ def build_rp_index(
         "seed": seed,
         "corpus": _corpus_fingerprint(vectors, id_col),
     }
-    with open(_geometry_path(path), "w") as f:
-        json.dump(geometry, f)
+    tbl = ManifestedParquetTable(vectors.sparkSession, path)
+    tbl.overwrite(
+        corpus, op_key="build", partition_by=["b"],
+        properties={"geometry": geometry},
+    )
+    tbl.vacuum()  # single writer: reclaim the replaced build's data dirs
 
 
 def knn_lsh_indexed(
@@ -249,28 +251,28 @@ def knn_lsh_indexed(
     build time and the scan is pruned to the probed buckets.
 
     The (dim, n_bits, n_tables, seed) arguments are ASSERTED against the
-    index's persisted ``_geometry.json`` — a mismatch raises instead of
-    silently hashing probes with different planes than the corpus (which
-    returns wrong neighbors with no error signal). An index without the
-    sidecar (or on a filesystem the sidecar can't be read from — it is
-    written with plain POSIX io, same local-FS constraint as
-    plans/manifest.py) also raises: the contract is load-bearing, so an
-    unverifiable index is an error, not a warning.
+    geometry persisted in the index's manifest commit (build_rp_index) — a
+    mismatch raises instead of silently hashing probes with different
+    planes than the corpus (which returns wrong neighbors with no error
+    signal). A path with no manifest or no committed geometry (a
+    pre-contract layout, a torn copy) also raises: the contract is
+    load-bearing, so an unverifiable index is an error, not a warning.
 
     ``verify_corpus``: staleness hook — pass the DataFrame the index is
     believed to cover and its fingerprint (count + hash accumulators over
     the id column, one narrow agg) is recomputed and compared; a corpus
     that changed since build raises instead of silently probing a stale
     bucket table."""
-    gp = _geometry_path(index_path)
-    if not os.path.exists(gp):
+    from imgdupes_spark.plans.manifest import ManifestedParquetTable
+
+    tbl = ManifestedParquetTable(spark, index_path)
+    geometry = tbl.properties().get("geometry") if tbl.exists() else None
+    if geometry is None:
         raise ValueError(
-            f"RP index at {index_path!r} has no _geometry.json — rebuild it "
-            "with build_rp_index (geometry-less indexes cannot be safely "
+            f"RP index at {index_path!r} has no committed geometry — rebuild "
+            "it with build_rp_index (geometry-less indexes cannot be safely "
             "probed: mismatched planes return wrong neighbors silently)"
         )
-    with open(gp) as f:
-        geometry = json.load(f)
     want = {"dim": dim, "n_bits": n_bits, "n_tables": n_tables, "seed": seed}
     have = {k_: geometry.get(k_) for k_ in want}
     if have != want:
@@ -287,7 +289,7 @@ def knn_lsh_indexed(
                 f"{now} != indexed {geometry.get('corpus')} — rebuild with "
                 "build_rp_index"
             )
-    corpus = spark.read.parquet(index_path)
+    corpus = tbl.read()
     probe = _probe_bucket_rows(
         probes, dim, n_bits, n_tables, multiprobe, id_col, vec_col, seed
     )

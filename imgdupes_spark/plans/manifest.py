@@ -104,7 +104,9 @@ class ManifestedParquetTable:
 
     # ---------------------------------------------------------------- I/O
 
-    def _write_data(self, df: DataFrame, op_key: str) -> tuple[str, int]:
+    def _write_data(
+        self, df: DataFrame, op_key: str, partition_by: list[str] | None = None
+    ) -> tuple[str, int]:
         """Write df under a unique data dir; returns (dirname, rows). The
         row count is observed on the write action itself — no second pass."""
         from pyspark.sql import Observation
@@ -114,27 +116,50 @@ class ManifestedParquetTable:
         )
         dname = f"{op_key}-{uuid.uuid4().hex[:8]}"
         obs = Observation()
-        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        writer = df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
             "overwrite"
-        ).parquet(os.path.join(self.ddir, dname))
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(self.ddir, dname))
         return dname, int(obs.get["rows"])
 
-    def overwrite(self, df: DataFrame, op_key: str = "initial") -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        op_key: str = "initial",
+        partition_by: list[str] | None = None,
+        properties: dict | None = None,
+    ) -> int:
         """Truncate-and-write: the new manifest lists ONLY this commit's
         data. Two racing initial writers both commit deterministic identical
         content; the head manifest resolves to exactly one of them — never a
-        union. Returns rows written."""
-        dname, rows = self._write_data(df, op_key)
-        self._commit({"dir": dname, "op_key": op_key, "rows": rows}, replace=True)
+        union. Returns rows written. ``partition_by`` hive-partitions the
+        commit's data dir (the partition column is recovered by read()'s
+        directory discovery — used by the RP-bucket index so probes stay
+        partition-pruned). ``properties`` rides INSIDE the commit entry
+        (Iceberg's snapshot summary): metadata that must stay atomic with
+        the data — e.g. the RP index geometry — cannot be torn from it by
+        a crash between two files, because there is only one CAS."""
+        dname, rows = self._write_data(df, op_key, partition_by)
+        entry = {"dir": dname, "op_key": op_key, "rows": rows}
+        if properties:
+            entry["properties"] = properties
+        self._commit(entry, replace=True)
         return rows
 
-    def append(self, df: DataFrame, op_key: str) -> int | None:
+    def append(
+        self,
+        df: DataFrame,
+        op_key: str,
+        partition_by: list[str] | None = None,
+    ) -> int | None:
         """Exactly-once append: returns rows written, or None when this
         op_key is already committed (the racing twin's write landed first —
         our data dir is removed, nothing becomes visible twice)."""
         if op_key in self.committed_ops():
             return None  # cheap pre-check; the CAS below is authoritative
-        dname, rows = self._write_data(df, op_key)
+        dname, rows = self._write_data(df, op_key, partition_by)
         if self._commit({"dir": dname, "op_key": op_key, "rows": rows}, replace=False):
             return rows
         shutil.rmtree(os.path.join(self.ddir, dname), ignore_errors=True)
@@ -168,9 +193,38 @@ class ManifestedParquetTable:
     def current_version(self) -> int:
         return self._latest()[0]
 
+    def properties(self, version: int | None = None) -> dict:
+        """Merged commit-entry properties at ``version`` (default head),
+        later entries winning — the read side of overwrite(properties=)."""
+        if version is None:
+            entries = self._latest()[1]
+        else:
+            with open(os.path.join(self.mdir, f"v{version:08d}.json")) as fh:
+                entries = json.load(fh)
+        out: dict = {}
+        for e in entries:
+            out.update(e.get("properties") or {})
+        return out
+
     def rows(self) -> int:
         """Committed row count from manifest metadata alone (no scan)."""
         return sum(int(e["rows"]) for e in self._latest()[1])
+
+    def data_files(self) -> list[str]:
+        """Paths of the parquet data files the CURRENT manifest lists —
+        the live file count drives sink compaction (streaming/ingest.py):
+        every append adds one file-set, so an unbounded stream needs a
+        rewrite trigger, and orphans must not inflate the trigger."""
+        out: list[str] = []
+        for e in self._latest()[1]:
+            root = os.path.join(self.ddir, e["dir"])
+            for dirpath, _dirs, files in os.walk(root):
+                out.extend(
+                    os.path.join(dirpath, f)
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        return out
 
     def vacuum(self) -> int:
         """Remove orphan data dirs (crashed/lost commit attempts) not

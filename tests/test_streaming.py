@@ -7,6 +7,7 @@ import os
 from pyspark.sql import functions as F
 
 from imgdupes_spark.corpus import CorpusSpec, generate_corpus
+from imgdupes_spark.plans.manifest import ManifestedParquetTable
 from imgdupes_spark.streaming.ingest import stream_signatures
 
 
@@ -106,7 +107,7 @@ def test_stream_neardup_gate(spark, cfg, tmp_path, small_corpus):
     stream_neardup_gate(spark, src, corpus_sig, hits_dir, ckpt, cfg).awaitTermination(
         180
     )
-    got1 = spark.read.parquet(hits_dir)
+    got1 = ManifestedParquetTable(spark, hits_dir).read()
     by_query = {
         r.query_path: r.origins
         for r in got1.groupBy("query_path")
@@ -125,7 +126,7 @@ def test_stream_neardup_gate(spark, cfg, tmp_path, small_corpus):
     stream_neardup_gate(spark, src, corpus_sig, hits_dir, ckpt, cfg).awaitTermination(
         180
     )
-    got2 = spark.read.parquet(hits_dir)
+    got2 = ManifestedParquetTable(spark, hits_dir).read()
     new_rows = got2.filter(F.col("query_path") == "exact_copy2")
     assert new_rows.count() >= 1
     # wave-1 hits were not re-emitted (exactly-once file intake)
@@ -243,13 +244,13 @@ def test_stream_decontamination_gate(spark, cfg, tmp_path):
     )
     spark.createDataFrame(wave).write.mode("append").parquet(src)
     stream_decontamination_gate(spark, src, grams, dst, ckpt, ngram_k=8, min_hits=5).awaitTermination(120)
-    got = {r.path: r.contaminated for r in spark.read.parquet(dst).collect()}
+    got = {r.path: r.contaminated for r in ManifestedParquetTable(spark, dst).read().collect()}
     assert got == {"leak": True, "clean": False}, got
 
     # restart: only the new file is scored
     spark.createDataFrame(rows([("clean2", "another unrelated doc with its own words entirely")])).write.mode("append").parquet(src)
     stream_decontamination_gate(spark, src, grams, dst, ckpt, ngram_k=8, min_hits=5).awaitTermination(120)
-    out = spark.read.parquet(dst)
+    out = ManifestedParquetTable(spark, dst).read()
     assert out.count() == 3
     assert out.filter("contaminated").count() == 1
 
@@ -286,7 +287,7 @@ def test_stream_selfdedup_gate_accumulates(spark, cfg, tmp_path):
     )
     spark.createDataFrame(wave1).write.mode("append").parquet(src)
     stream_selfdedup_gate(spark, src, idx, adm, ckpt, cfg).awaitTermination(180)
-    adm1 = {r.path for r in spark.read.parquet(adm).collect()}
+    adm1 = {r.path for r in ManifestedParquetTable(spark, adm).read().collect()}
     assert len(adm1) == 2 and "uniq1" in adm1 and len(adm1 & {"lic1", "lic1_copy"}) == 1
 
     # wave 2: exact re-arrival + near-dup of the boilerplate + one novel doc
@@ -299,13 +300,13 @@ def test_stream_selfdedup_gate_accumulates(spark, cfg, tmp_path):
     )
     spark.createDataFrame(wave2).write.mode("append").parquet(src)
     stream_selfdedup_gate(spark, src, idx, adm, ckpt, cfg).awaitTermination(180)
-    adm2 = {r.path for r in spark.read.parquet(adm).collect()}
+    adm2 = {r.path for r in ManifestedParquetTable(spark, adm).read().collect()}
     assert adm2 == adm1 | {"uniq2"}, adm2
 
     # wave 3: yet another exact re-arrival stays rejected (index persisted)
     spark.createDataFrame(rows([("lic_third", boiler)])).write.mode("append").parquet(src)
     stream_selfdedup_gate(spark, src, idx, adm, ckpt, cfg).awaitTermination(180)
-    adm3 = {r.path for r in spark.read.parquet(adm).collect()}
+    adm3 = {r.path for r in ManifestedParquetTable(spark, adm).read().collect()}
     assert adm3 == adm2, adm3
 
 
@@ -344,7 +345,7 @@ def test_stream_selfdedup_gate_commit_identity(spark, cfg, tmp_path):
     spark.createDataFrame(w2).write.mode("append").parquet(src)
     stream_selfdedup_gate(spark, src, idx, adm, ckpt, cfg).awaitTermination(180)
 
-    admitted = {(r.path, r.commit) for r in spark.read.parquet(adm).collect()}
+    admitted = {(r.path, r.commit) for r in ManifestedParquetTable(spark, adm).read().collect()}
     assert ("f.py", "c1") in admitted, "novel commit evicted by its older twin"
     assert sum(1 for p, c in admitted if c == "c0") == 1  # replay stays rejected
 
@@ -352,9 +353,11 @@ def test_stream_selfdedup_gate_commit_identity(spark, cfg, tmp_path):
 def test_stream_selfdedup_index_compaction_bounds_growth(spark, cfg, tmp_path):
     """Round-4 verdict item 6: the admitted-signature index used to gain one
     parquet file-set per micro-batch forever (listing cost O(batches)).
-    With compaction the data-file count stays bounded across >=10 waves,
-    and the gate semantics (novel admitted, re-arrivals rejected) survive
-    every compaction swap."""
+    With compaction the LIVE data-file count (what the manifest lists — the
+    per-batch scan cost) stays bounded across >=10 waves, the orphaned
+    pre-compaction file-sets are vacuumed so disk is bounded too, and the
+    gate semantics (novel admitted, re-arrivals rejected) survive every
+    compaction commit."""
     import os
 
     import pandas as pd
@@ -368,7 +371,7 @@ def test_stream_selfdedup_index_compaction_bounds_growth(spark, cfg, tmp_path):
     boiler = "the eternally re-arriving generated header that must stay rejected"
 
     def files():
-        return [f for f in os.listdir(idx) if f.endswith(".parquet")]
+        return ManifestedParquetTable(spark, idx).data_files()
 
     counts = []
     n_waves = 11
@@ -392,7 +395,17 @@ def test_stream_selfdedup_index_compaction_bounds_growth(spark, cfg, tmp_path):
     assert max(counts) <= 12, counts
     assert counts[-1] <= 12, counts
 
-    admitted = {r.path for r in spark.read.parquet(adm).collect()}
+    # disk bound: the replaced file-sets were vacuumed, so the ON-DISK
+    # parquet count tracks the live count (allow the newest orphan window)
+    on_disk = [
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(os.path.join(idx, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert len(on_disk) <= counts[-1] + 6, (len(on_disk), counts[-1])
+
+    admitted = {r.path for r in ManifestedParquetTable(spark, adm).read().collect()}
     assert {f"uniq{i}" for i in range(n_waves)} <= admitted
     boilers = {p for p in admitted if p.startswith("boiler")}
     assert boilers == {"boiler0"}, boilers
@@ -437,3 +450,72 @@ def test_stream_quality_gate_secret_rule(spark, cfg, tmp_path):
     got2 = {r.path: r.reject_reason for r in spark.read.parquet(dst2).collect()}
     assert got2["leaky"] == "too_short"  # default gate unchanged
     assert "has_secret" not in spark.read.parquet(dst2).columns
+
+
+def test_stream_sink_manifest_crash_replay(spark, cfg, tmp_path):
+    """Round-5 verdict item 6: the foreachBatch sinks are manifest-backed,
+    so every crash window replays to the identical committed state.
+    (a) a RETRIED epoch (same stream identity + epoch number) is a
+    write-time no-op — the op_key is already committed, nothing lands
+    twice; (b) a crashed attempt's half-written data dir is an orphan —
+    invisible to read(), reclaimed by vacuum(); (c) a FRESH checkpoint
+    pointed at the same sink derives a different stream identity, so its
+    epoch 0 cannot collide with the old stream's epoch 0 (raw ``epoch-0``
+    op-keys would silently DROP the new stream's first batch)."""
+    import pandas as pd
+
+    from imgdupes_spark.operators.decontaminate import benchmark_ngrams
+    from imgdupes_spark.streaming.ingest import (
+        _stream_op_key,
+        stream_decontamination_gate,
+    )
+
+    src = str(tmp_path / "incr")
+    dst = str(tmp_path / "outcr")
+    ckpt_a = str(tmp_path / "ckcrA")
+    ckpt_b = str(tmp_path / "ckcrB")
+
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog near the river",)],
+        "text string",
+    )
+    grams = benchmark_ngrams(bench, 8, text_col="text")
+    wave = pd.DataFrame(
+        [
+            {"repo": "r", "path": "a", "commit": "c", "lang": "t",
+             "content": "an entirely clean document about adaptive query execution"},
+            {"repo": "r", "path": "b", "commit": "c", "lang": "t",
+             "content": "another clean document about broadcast hash joins today"},
+        ]
+    )
+    spark.createDataFrame(wave).write.mode("append").parquet(src)
+    stream_decontamination_gate(
+        spark, src, grams, dst, ckpt_a, ngram_k=8, min_hits=5
+    ).awaitTermination(120)
+
+    tbl = ManifestedParquetTable(spark, dst)
+    n1 = tbl.read().count()
+    assert n1 == 2
+
+    # (a) retried epoch: the replayed append dedupes on its op_key
+    retry = tbl.append(tbl.read(), _stream_op_key(ckpt_a, 0))
+    assert retry is None
+    assert tbl.read().count() == n1
+
+    # (b) crashed attempt = orphan data dir: invisible, then vacuumed
+    junk = os.path.join(dst, "data", "crashed-deadbeef")
+    spark.range(5).write.parquet(junk)
+    assert tbl.read().count() == n1
+    assert tbl.vacuum() == 1
+    assert not os.path.exists(junk)
+
+    # (c) a fresh checkpoint re-scores everything under its OWN identity —
+    # its epoch 0 append must land, not vanish into the old stream's history
+    key_a0 = _stream_op_key(ckpt_a, 0)
+    key_b0 = _stream_op_key(ckpt_b, 0)
+    assert key_a0 != key_b0
+    stream_decontamination_gate(
+        spark, src, grams, dst, ckpt_b, ngram_k=8, min_hits=5
+    ).awaitTermination(120)
+    assert tbl.read().count() == 2 * n1
+    assert {key_a0, key_b0} <= tbl.committed_ops()
