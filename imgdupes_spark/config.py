@@ -68,6 +68,18 @@ class DedupeConfig:
     #     shingle_unit family above. ---
     image_hash_method: str = "phash_org"  # phash_org | phash | ahash | dhash | whash
 
+    # --- token-stream pre-collapse (UDF-input dedup) ---
+    # When True, the fingerprint UDF runs once per DISTINCT token stream
+    # instead of once per document: a 128-bit JVM xxhash64 pair over the
+    # token_hashes array keys a groupBy/first collapse, the Arrow UDF
+    # fingerprints only the representatives, and a 16-byte-key join fans the
+    # structs back out. Catches the duplication sha256 misses — whitespace /
+    # punctuation / comment-free reformatting variants tokenize identically
+    # but differ byte-wise. Costs two shuffles where the inline path has
+    # none, so it pays only on variant-rich corpora (measured: BASELINE.md
+    # round 6); off by default.
+    sig_precollapse: bool = False
+
     # --- identity width ---
     # 64: doc_id = one xxhash64 long — collision-safe to ~10^9 docs (birthday
     # bound; the pipeline's default-on doc_id_collisions guard catches the

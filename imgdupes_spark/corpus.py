@@ -246,6 +246,61 @@ def boilerplate_corpus_spark(spark, n_docs: int, seed: int = 7):
     return docs.unionByName(snippets), n_planted
 
 
+def variant_corpus_spark(
+    spark, n_base: int, variants: int = 1, seed: int = 13, token_scale: int = 1
+):
+    """Whitespace/punctuation-variant corpus: ``n_base`` distinct base docs,
+    each emitted ``variants`` times with a variant-specific token separator.
+
+    Separators contain no ``[0-9a-z]`` characters, so every variant of a base
+    doc tokenizes to the SAME token stream while its bytes (and sha256)
+    differ — the duplication shape ``cfg.sig_precollapse`` exists for
+    (reformatting churn, CRLF rewrites, punctuation-only edits). With
+    ``variants=1`` it is a zero-duplication corpus that prices the collapse
+    overhead. ``token_scale`` multiplies per-doc token counts (base range
+    30-250) — the precollapse pay-off regime is doc-size-dependent, so the
+    spike sweeps it. Generated distributed, JVM-only, deterministic at any
+    parallelism."""
+    from pyspark.sql import functions as F
+
+    words = F.array(*[F.lit(w) for w in _WORDS])
+    nw = len(_WORDS)
+    seps = F.array(
+        F.lit(" "), F.lit("  "), F.lit("\t"), F.lit(" , "),
+        F.lit(";\n"), F.lit("   "), F.lit(" .\t"), F.lit("\r\n"),
+    )
+    rows = spark.range(n_base * variants).select(
+        (F.col("id") % n_base).alias("base"),
+        (F.col("id") / n_base).cast("int").alias("variant"),
+    )
+    n_tokens = (
+        (F.pmod(F.xxhash64(F.lit(seed), "base"), F.lit(221)) + 30) * token_scale
+    ).cast("int")
+    body = F.transform(
+        F.sequence(F.lit(0), n_tokens - 1),
+        lambda j: F.element_at(
+            words,
+            (F.pmod(F.xxhash64(F.lit(seed + 1), F.col("base"), j), F.lit(nw)) + 1).cast("int"),
+        ),
+    )
+    sep = F.element_at(seps, (F.pmod(F.col("variant") + F.col("base"), F.lit(8)) + 1).cast("int"))
+    return rows.select(
+        F.concat(F.lit("org/repo"), (F.col("base") % 61).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("v"), F.col("variant").cast("string"),
+            F.lit("/src/f"), F.col("base").cast("string"), F.lit(".py"),
+        ).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.lit("py").alias("lang"),
+        # array_join takes only literal delimiters; append the per-row sep
+        # to every word instead (trailing sep is more non-token bytes, fine)
+        F.concat(
+            F.concat_ws("", F.transform(body, lambda w: F.concat(w, sep))),
+            F.lit("\n"),
+        ).alias("content"),
+    )
+
+
 def corpus_from_documents(spark, sf_dir: str):
     """Adapter: driver `documents` table -> corpus shape (FIXTURES.md §4:
     text plays content, source plays repo)."""

@@ -199,6 +199,16 @@ def signatures(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
     ``content`` is NOT in the output: column pruning drops it right after this
     stage so every downstream shuffle moves 8-byte fingerprints, not file
     bodies (SURVEY.md §4 "what Catalyst gives for free").
+
+    ``cfg.sig_precollapse`` dedups the UDF work itself: a 128-bit xxhash64
+    pair over ``token_hashes`` (JVM codegen, two words so the key collision
+    bound is ~2^-128, not the 64-bit birthday) keys a groupBy/first collapse;
+    the Arrow UDF fingerprints one representative per distinct token stream
+    and a 16-byte-key shuffle join fans the structs back out. Whitespace /
+    punctuation-only variants (reformats, CRLF churn) tokenize identically
+    but have distinct sha256, so this collapses what the exact pass cannot.
+    Two extra shuffles vs the inline path's zero — opt-in (BASELINE.md r6
+    measures both shapes).
     """
     fp = make_fingerprint_udf(cfg)
     toks = tokens_col(F.col("content"))
@@ -216,7 +226,24 @@ def signatures(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
         F.size(toks).cast("long").alias("n_tokens"),
         F.transform(units, lambda t: F.xxhash64(t)).alias("token_hashes"),
     )
-    sig = with_tok.withColumn("sig", fp(F.col("token_hashes")))
+    if cfg.sig_precollapse:
+        keyed = with_tok.withColumns(
+            {
+                "__ts_a": F.xxhash64("token_hashes"),
+                "__ts_b": F.xxhash64(F.lit(1), "token_hashes"),
+            }
+        )
+        # groupBy/first gets map-side partial aggregation, so at most one
+        # token array per (stream, input partition) reaches the shuffle.
+        reps = keyed.groupBy("__ts_a", "__ts_b").agg(
+            F.first("token_hashes").alias("token_hashes")
+        )
+        rep_sig = reps.select(
+            "__ts_a", "__ts_b", fp(F.col("token_hashes")).alias("sig")
+        )
+        sig = keyed.drop("token_hashes").join(rep_sig, ["__ts_a", "__ts_b"])
+    else:
+        sig = with_tok.withColumn("sig", fp(F.col("token_hashes")))
     return sig.select(
         "doc_id",
         "repo",

@@ -1,0 +1,80 @@
+"""Token-stream pre-collapse spike (round-6 verdict item 7).
+
+Question: does deduping the fingerprint UDF's INPUT (cfg.sig_precollapse —
+one xxhash64 pair over token_hashes, groupBy/first, UDF on reps, join back)
+pay for its two extra shuffles?
+
+Protocol: two corpora, same size —
+  * shaped — variant_corpus_spark(n_base, V): every base doc has V
+    whitespace/punct-only variants (distinct sha256, one token stream);
+    dup factor V is what reformatting churn looks like in a real crawl.
+  * plain  — variant_corpus_spark(n_docs, 1): zero duplication; prices the
+    pure overhead of the collapse on a corpus that cannot benefit.
+
+Each (corpus, mode) leg materializes the full signatures output through the
+noop sink. Legs alternate off/on within a corpus and report min-of-k (the
+sandbox steal-noise estimator, BASELINE.md protocol).
+
+Prints one JSON line per corpus + a markdown row for BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from imgdupes_spark.config import DedupeConfig
+from imgdupes_spark.corpus import variant_corpus_spark
+from imgdupes_spark.functions.fingerprints import signatures
+from imgdupes_spark.session import get_spark
+
+
+def time_leg(spark, corpus, cfg) -> float:
+    t0 = time.time()
+    signatures(corpus, cfg).write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 2)
+
+
+def main() -> None:
+    n_docs = int(os.environ.get("SPARK_GRAFT_SPIKE_N", "200000"))
+    v = int(os.environ.get("SPARK_GRAFT_SPIKE_V", "5"))
+    repeats = int(os.environ.get("SPARK_GRAFT_SPIKE_REPEATS", "3"))
+    # pay-off is doc-size-dependent: the collapse saves UDF work (scales
+    # with tokens/doc) and costs two fixed-size-row shuffles (scales with
+    # docs) — sweep token_scale to find the break-even regime
+    token_scale = int(os.environ.get("SPARK_GRAFT_SPIKE_TOKEN_SCALE", "1"))
+    spark = get_spark()
+    off = DedupeConfig()
+    on = dataclasses.replace(off, sig_precollapse=True)
+
+    for name, (n_base, variants) in {
+        "shaped": (n_docs // v, v),
+        "plain": (n_docs, 1),
+    }.items():
+        corpus = variant_corpus_spark(
+            spark, n_base, variants, token_scale=token_scale
+        ).persist()
+        n = corpus.count()
+        legs: dict[str, list[float]] = {"off": [], "on": []}
+        for _ in range(repeats):
+            legs["off"].append(time_leg(spark, corpus, off))
+            legs["on"].append(time_leg(spark, corpus, on))
+        corpus.unpersist()
+        best_off, best_on = min(legs["off"]), min(legs["on"])
+        print(json.dumps({
+            "corpus": name, "n_docs": n, "dup_factor": variants,
+            "token_scale": token_scale,
+            "legs_off_sec": legs["off"], "legs_on_sec": legs["on"],
+            "best_off_sec": best_off, "best_on_sec": best_on,
+            "speedup_on_vs_off": round(best_off / best_on, 2),
+        }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -66,3 +66,67 @@ def test_doc_id_collision_guard(spark, cfg, small_corpus):
     # forge a collision: same doc_id, different path
     forged = sig.limit(1).withColumn("path", F.lit("forged/other/path"))
     assert doc_id_collisions(sig.unionByName(forged)) == 1
+
+
+def test_sig_precollapse_equality(spark, cfg, small_corpus):
+    """cfg.sig_precollapse is a pure plan rewrite: the UDF runs once per
+    distinct token stream and the structs fan back out — output rows must be
+    identical to the inline path, sentinels (NULL fingerprints) included."""
+    import dataclasses
+
+    on = dataclasses.replace(cfg, sig_precollapse=True)
+    cols = [
+        "doc_id", "repo", "path", "commit", "lang", "sha256", "simhash",
+        "minhash", "n_shingles", "n_bytes", "n_chars", "n_lines", "n_tokens",
+    ]
+
+    def rows(df):
+        return sorted(
+            (
+                tuple(tuple(v) if isinstance(v, list) else v for v in r)
+                for r in df.select(cols).collect()
+            ),
+            key=repr,
+        )
+
+    a = rows(signatures(small_corpus, cfg))
+    b = rows(signatures(small_corpus, on))
+    assert a == b
+    # the collapse shape is really in the plan: an aggregate feeds the Arrow
+    # UDF instead of the raw projection
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        signatures(small_corpus, on).explain("formatted")
+    plan = buf.getvalue()
+    # first(array) buffers are not hash-agg-able, so Spark picks SortAggregate
+    assert "ArrowEvalPython" in plan and "Aggregate" in plan
+
+
+def test_sig_precollapse_collapses_whitespace_variants(spark, cfg):
+    """Planted whitespace/punctuation-only variants: distinct sha256, one
+    token stream. The collapse path must fingerprint them identically to
+    their base (and to the inline path)."""
+    import dataclasses
+
+    base = "def frobnicate(x):\n    return x + 1  # adjust the counter value\n"
+    variants = [
+        base,
+        base.replace("    ", "\t"),                      # indent churn
+        base.replace("\n", "\r\n"),                      # CRLF churn
+        base.replace(" + ", "+") + "   \n",              # spacing + trailing ws
+        base.replace("#", "  #"),                        # comment indent
+    ]
+    rows = [
+        ("r", f"v{i}.py", "c0", "py", v * 40) for i, v in enumerate(variants)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    on = dataclasses.replace(cfg, sig_precollapse=True)
+    got = signatures(corpus, on).select("path", "sha256", "simhash", "minhash").collect()
+    assert len({r.sha256 for r in got}) == len(variants)  # sha misses these
+    assert len({r.simhash for r in got}) == 1
+    assert len({tuple(r.minhash) for r in got}) == 1
