@@ -177,6 +177,25 @@ def secret_columns(content: Column) -> list[Column]:
     return [*counts, (total > 0).alias("has_secret")]
 
 
+def redact_secrets_col(content: Column) -> Column:
+    """Content with every :data:`SECRET_PATTERNS` match replaced by a typed
+    placeholder (``<SECRET:kind>``) — the scrub counterpart to
+    :func:`secret_columns`' detect: detection routes docs to audit,
+    redaction makes the surviving text safe to train on. Replacements are
+    chained in sorted-kind order (aws_key, email, hex_secret, private_key)
+    so both engines replay the identical sequence; placeholders contain no
+    pattern-matchable text, so the chain is order-stable. Pure codegen
+    ``regexp_replace`` — Spark replaces all occurrences by default, the
+    DuckDB twin passes the 'g' flag. Occurrence COUNTS are
+    :func:`secret_columns`' business (an overlapping match consumed by an
+    earlier replacement — e.g. a 40-hex local part inside an email — is
+    counted there but never double-redacted here)."""
+    out = content
+    for kind, pat in sorted(SECRET_PATTERNS.items()):
+        out = F.regexp_replace(out, pat, f"<SECRET:{kind}>")
+    return out
+
+
 # marker phrase -> license id, checked lowercase; first hit in PRIORITY
 # order wins (a file quoting two licenses is classified by the stronger
 # grant text, deterministically)

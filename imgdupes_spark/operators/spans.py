@@ -1,0 +1,178 @@
+"""Cross-document duplicated-SPAN detection: find the maximal token ranges
+inside each document that also occur verbatim in other documents — the
+passage-level dedup signal (quoted license blocks, copy-pasted functions,
+syndicated paragraphs) that whole-doc dedup (operators/lsh.py) and doc-level
+containment (operators/containment.py) both miss when the shared passage is
+a small fraction of each document.
+
+This is the "deduplicating training data" exact-substring pass (Lee et al.
+2021, arXiv:2107.06499) re-expressed Spark-first: the paper builds one
+monolithic suffix array over the concatenated corpus — inherently
+single-machine, O(corpus) memory — whereas the identical detection guarantee
+falls out of a distributed inverted index over k-token rolling shingles:
+
+  every window of k consecutive tokens inside a passage that is duplicated
+  verbatim across documents is itself a duplicated k-gram, so the union of
+  hot k-gram extents per document IS the duplicated region, with boundaries
+  exact (not rounded to gram granularity) and minimum detectable span
+  length k — the same knob as the paper's minimum match length.
+
+Scale shape (the part that matters at 100 TB):
+
+  grams  — explode to (doc_id, pos, gram_hash: 8 bytes); gram TEXT never
+           leaves the row scope (hashed in the same projection), so the
+           exploded relation is ~24-byte rows, one per corpus token.
+  hot    — ONE narrow shuffle: groupBy(gram_hash) with map-side partial
+           countDistinct(doc), keep hashes in >= min_docs distinct docs.
+  hits   — semi-join the gram relation against the hot set on the 8-byte
+           hash (AQE broadcasts when the hot set is small, sort-merge when
+           a dup-heavy corpus makes it large; either way no payload).
+  merge  — one shuffle by doc_id: classic gaps-and-islands over hit
+           positions (running max of interval ends via a window frame),
+           then min/max per island. Rows are (doc, pos) pairs.
+
+Everything is whole-stage-codegen DataFrame ops — no UDFs, no driver-side
+collection, no suffix array. Per-doc work is linear in tokens; cross-doc
+work is linear in hot-gram hits.
+
+Caveats shared with the suffix-array formulation: a position can be hot
+against DIFFERENT partner documents at different offsets, so a merged span
+is the union of duplicated coverage, not a single pairwise match; and a
+passage repeated only WITHIN one document is not flagged (countDistinct
+>= min_docs is deliberately cross-document — within-doc repetition is
+repetition_profile's business, functions/text.py).
+
+Reference parity note: the reference engine (knjcode/imgdupes) has no
+substring machinery at all — this extends the north-star containment pass
+(SURVEY.md N8) from whole-doc-in-doc to arbitrary shared passages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from imgdupes_spark.functions.fingerprints import tokens_col
+
+
+def positional_gram_hashes(content: F.Column, k: int) -> F.Column:
+    """Ordered array of xxhash64 hashes of the k-token rolling grams of
+    ``content`` — index i hashes tokens [i, i+k). Docs with fewer than k
+    tokens yield an empty array. Same zipped-slice formulation as
+    word_ngrams_from_tokens (functions/text.py) — the per-gram lambda
+    touches only the zipped element, so tokenization evaluates once per
+    row, not once per gram."""
+    toks = tokens_col(content)
+    n_grams = F.size(toks) - (k - 1)
+    shifted = [
+        F.slice(toks, i + 1, F.greatest(n_grams, F.lit(0))).alias(f"t{i}")
+        for i in range(k)
+    ]
+    grams = F.transform(
+        F.arrays_zip(*shifted),
+        lambda s: F.xxhash64(F.concat_ws(" ", *[s[f"t{i}"] for i in range(k)])),
+    )
+    return F.when(n_grams >= 1, grams).otherwise(F.array().cast("array<long>"))
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """One row per maximal duplicated token span:
+    ``(id_col, span_start, span_end, span_tokens)`` with token positions
+    0-based, ``span_end`` exclusive, ``span_tokens = span_end - span_start``
+    (always >= k). A span is duplicated when every k-token window inside it
+    occurs in >= ``min_docs`` distinct documents; overlapping and touching
+    hot windows merge into one maximal span.
+
+    Identity is xxhash64 over the space-joined lowercase token gram — the
+    corpus-wide grouping runs on 8-byte hashes, never gram text (a 64-bit
+    collision could merge two unrelated grams; at web scale use the same
+    acceptance math as the LSH band keys, documented in operators/lsh.py).
+    """
+    grams = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(positional_gram_hashes(F.col(content_col), k)).alias(
+            "__pos", "__gh"
+        ),
+    )
+    hot = (
+        grams.groupBy("__gh")
+        .agg(F.countDistinct("__doc").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__gh")
+    )
+    hits = grams.join(hot, "__gh", "left_semi")
+
+    # gaps-and-islands: a hit at pos covers tokens [pos, pos+k); a new span
+    # starts when the current hit begins past the running max end of every
+    # earlier hit (strictly greater = overlap AND touch both merge). Both
+    # window expressions share (partitionBy __doc, orderBy __pos) -> one
+    # exchange feeds them.
+    w = Window.partitionBy("__doc").orderBy("__pos")
+    prev_end = F.max(F.col("__pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.select(
+        "__doc",
+        "__pos",
+        F.sum(
+            (F.col("__pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+        )
+        .over(w)
+        .alias("__isl"),
+    )
+    return (
+        islands.groupBy("__doc", "__isl")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + k).alias("span_end"),
+        )
+        .select(
+            F.col("__doc").alias(id_col),
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+            (F.col("span_end") - F.col("span_start"))
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-document duplicated-coverage report over EVERY input doc:
+    ``(id_col, n_dup_spans, dup_tokens, n_tokens, dup_token_frac)`` — the
+    policy input ("drop docs that are > 60% duplicated passage") that the
+    span rows feed. Docs with no duplicated span report zeros. One extra
+    narrow shuffle (groupBy doc over span rows) plus a left join onto the
+    doc spine."""
+    spans = duplicate_spans(docs, k, min_docs, id_col, content_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    spine = docs.select(
+        F.col(id_col),
+        F.size(tokens_col(F.col(content_col))).cast("long").alias("n_tokens"),
+    )
+    return spine.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        "n_tokens",
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0))
+            / F.greatest("n_tokens", F.lit(1)),
+            6,
+        ).alias("dup_token_frac"),
+    )
