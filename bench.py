@@ -189,6 +189,19 @@ def main() -> None:
             ).count(),
             q_k,
         )
+        # round-6 surface: cross-doc duplicated-span detection over the full
+        # synthetic corpus (planted exact/near twins give it real spans to
+        # find) — the per-round scale row for operators/spans.py
+        from imgdupes_spark.operators.spans import duplicate_spans
+
+        span_input = corpus.select(
+            F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
+        )
+        legged(
+            "duplicate_spans_corpus",
+            lambda: duplicate_spans(span_input, k=8).count(),
+            q_k,
+        )
         decon_result = {
             "legs_sec": all_legs["decontaminate"],
             "best_sec": timings["decontaminate"],

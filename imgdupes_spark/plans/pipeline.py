@@ -267,11 +267,15 @@ class DedupePipeline:
         resume: bool = True,
         ngram_k: int = 8,
         min_hits: int = 5,
+        span_min_docs: int | None = None,
     ) -> DataFrame:
         """Checkpointed curation stage: the per-doc quality surface (token
         count, quality ratios, language guess, repetition signals) plus —
         when a benchmark suite DataFrame (`text` column) is passed — the
-        decontamination report against it.
+        decontamination report against it, and — when ``span_min_docs`` is
+        set — the cross-document duplicated-span coverage report
+        (operators/spans.py; opt-in because its gram explode is the one
+        branch whose shuffle grows with corpus TOKENS, not docs).
 
         The content-bearing corpus is NEVER persisted (same discipline as
         the signatures stage, fingerprints.py: nothing wide is cached or
@@ -323,6 +327,10 @@ class DedupePipeline:
             ).collect()[0]
             bench_fp = f"{brow.n}x{brow.h & 0xFFFFFFFFFFFFFFFF:016x}"
         stage = f"curation-k{ngram_k}m{min_hits}-{corpus_fp}-{bench_fp}"
+        if span_min_docs is not None:
+            # appended only when the branch is on, so pre-existing
+            # checkpoints keyed by the old format stay resumable
+            stage += f"-s{span_min_docs}"
 
         def compute() -> DataFrame:
             prof = text_profile(keyed, content_col="content")
@@ -337,6 +345,14 @@ class DedupePipeline:
                     id_col="__cid", text_col="content",
                 )
                 out = out.join(cont, "__cid")
+            if span_min_docs is not None:
+                from imgdupes_spark.operators.spans import duplicate_span_stats
+
+                spans = duplicate_span_stats(
+                    keyed, k=ngram_k, min_docs=span_min_docs,
+                    id_col="__cid", content_col="content",
+                ).drop("n_tokens")  # token_count already in the profile
+                out = out.join(spans, "__cid")
             return out.drop("__cid")
 
         return self._stage(stage, compute, resume)

@@ -106,6 +106,17 @@ def test_curation_stage_resumes_and_flags(spark, cfg, small_corpus, tmp_path):
     assert not stage_of(p4).resumed
     assert "contaminated" not in out4.columns
 
+    # span branch: opt-in, key-separated from the spanless checkpoint just
+    # written (same corpus, no bench), every doc reports coverage
+    p5 = DedupePipeline(spark, cfg, wd)
+    out5 = p5.run_curation(small_corpus, span_min_docs=2)
+    assert not stage_of(p5).resumed
+    assert {"n_dup_spans", "dup_tokens", "dup_token_frac"} <= set(out5.columns)
+    assert out5.count() == small_corpus.count()
+    p6 = DedupePipeline(spark, cfg, wd)
+    p6.run_curation(small_corpus, span_min_docs=2)
+    assert stage_of(p6).resumed
+
 
 def test_incremental_signatures(spark, cfg, small_corpus, small_corpus_pd, tmp_path):
     corpus_pd, _ = small_corpus_pd
