@@ -558,6 +558,59 @@ def _q_redact_secrets(spark, sf_dir):
     return d.select("doc_id", redact_secrets_col(planted).alias("text"))
 
 
+def _q_corpus_rarity(spark, sf_dir):
+    """Corpus-relative token-rarity profile (functions/text.py
+    corpus_freq_profile): the integer-exact stand-in for an LM-perplexity
+    quality filter — mean corpus count over the doc's token instances +
+    rare-instance fraction. No planting needed: the fixture's natural
+    frequency distribution is the non-trivial input, and both twins
+    aggregate it relationally (engine on 8-byte token hashes, oracle on
+    token strings — identity-equivalent absent 64-bit collisions)."""
+    from imgdupes_spark.functions.text import corpus_freq_profile
+
+    d = _docs(_prep(spark), sf_dir)
+    return corpus_freq_profile(d, rare_max_count=2, content_col="text")
+
+
+_URL_PLANT_A = " see https://Example.COM/page and http://cdn.example.org/lib.js"
+_URL_PLANT_B = " ref http://blocked.example.net/x http://blocked.example.net/y"
+
+
+def _url_planted_docs(spark, sf_dir):
+    d = _docs(_prep(spark), sf_dir)
+    planted = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(_URL_PLANT_A)))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.col("text"), F.lit(_URL_PLANT_B)))
+        .otherwise(F.col("text"))
+    )
+    return d.select("doc_id", planted.alias("text"))
+
+
+def _q_url_profile(spark, sf_dir):
+    """Per-doc URL/domain hygiene signals + blocklist flag (functions/
+    text.py url_columns): planted URLs on doc_id strata (mixed-case host
+    exercises the lowercase normalization; one stratum cites a blocked
+    domain twice) with the identical concat in the SQL twin."""
+    from imgdupes_spark.functions.text import url_columns
+
+    d = _url_planted_docs(spark, sf_dir)
+    cols = url_columns(F.col("text"), blocked_domains=["blocked.example.net"])
+    return d.select(
+        "doc_id", *cols[:-1], cols[-1].cast("long").alias("blocked")
+    )
+
+
+def _q_domain_counts(spark, sf_dir):
+    """Corpus-wide domain frequency table (functions/text.py
+    domain_counts) over the same planted corpus — n_docs distinct vs
+    n_refs total distinguishes the twice-cited blocked domain."""
+    from imgdupes_spark.functions.text import domain_counts
+
+    return domain_counts(
+        _url_planted_docs(spark, sf_dir), content_col="text"
+    )
+
+
 def _q_repetition_profile(spark, sf_dir):
     """Gopher-style repetition/boilerplate signals per doc: duplicate-line
     fraction (row count + chars), type/token ratio, top-token share — the
@@ -975,6 +1028,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": _q_strip_boilerplate,
         "duplicate_spans": _q_duplicate_spans,
         "dup_span_stats": _q_dup_span_stats,
+        "corpus_rarity": _q_corpus_rarity,
+        "url_profile": _q_url_profile,
+        "domain_counts": _q_domain_counts,
         "probe_exact": _q_probe_exact,
         "kept_corpus": _q_kept_corpus,
         # value-oracled via planted-ground-truth SQL (the kernels are not
@@ -1363,6 +1419,68 @@ def _static_oracle_sql() -> dict[str, str]:
                 WHEN contains(lower(t), 'mozilla public license') THEN 'mpl-2.0'
                 ELSE 'unknown' END AS license_guess
             FROM p
+        """,
+        "corpus_rarity": f"""
+            WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            inst AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+            pd AS (SELECT doc_id, tok, count(*) AS c
+                   FROM inst GROUP BY doc_id, tok),
+            voc AS (SELECT tok, count(*) AS cc FROM inst GROUP BY tok),
+            sc AS (
+              SELECT doc_id, sum(c) AS n, sum(c * cc) AS w,
+                     sum(CASE WHEN cc <= 2 THEN c ELSE 0 END) AS r
+              FROM pd JOIN voc USING (tok) GROUP BY doc_id)
+            SELECT tk.doc_id,
+              CAST(coalesce(n, 0) AS BIGINT) AS n_tokens,
+              round(CAST(coalesce(w, 0) AS DOUBLE)
+                    / greatest(coalesce(n, 0), 1), 6) AS mean_token_count,
+              round(CAST(coalesce(r, 0) AS DOUBLE)
+                    / greatest(coalesce(n, 0), 1), 6) AS rare_token_frac
+            FROM tk LEFT JOIN sc USING (doc_id)
+        """,
+        "url_profile": """
+            WITH p AS (
+              SELECT doc_id,
+                CASE
+                  WHEN doc_id % 5 = 0 THEN text
+                    || ' see https://Example.COM/page and http://cdn.example.org/lib.js'
+                  WHEN doc_id % 5 = 2 THEN text
+                    || ' ref http://blocked.example.net/x http://blocked.example.net/y'
+                  ELSE text END AS t
+              FROM documents),
+            d AS (
+              SELECT doc_id,
+                list_transform(
+                  regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1),
+                  x -> lower(x)) AS doms
+              FROM p)
+            SELECT doc_id,
+              CAST(len(doms) AS BIGINT) AS n_urls,
+              CAST(len(list_distinct(doms)) AS BIGINT) AS n_domains,
+              CAST(CASE WHEN len(list_filter(doms,
+                     x -> x IN ('blocked.example.net'))) > 0
+                   THEN 1 ELSE 0 END AS BIGINT) AS blocked
+            FROM d
+        """,
+        "domain_counts": """
+            WITH p AS (
+              SELECT doc_id,
+                CASE
+                  WHEN doc_id % 5 = 0 THEN text
+                    || ' see https://Example.COM/page and http://cdn.example.org/lib.js'
+                  WHEN doc_id % 5 = 2 THEN text
+                    || ' ref http://blocked.example.net/x http://blocked.example.net/y'
+                  ELSE text END AS t
+              FROM documents),
+            e AS (
+              SELECT doc_id, unnest(list_transform(
+                regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1),
+                x -> lower(x))) AS domain
+              FROM p)
+            SELECT domain,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_refs
+            FROM e GROUP BY domain
         """,
         "redact_secrets": """
             WITH p AS (

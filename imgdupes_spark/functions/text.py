@@ -290,6 +290,124 @@ def repetition_profile(
     )
 
 
+# scheme + host chars; group 1 captures the host. Java-regex/RE2-common
+# (no lookaround) so the DuckDB oracle replays it verbatim.
+URL_PATTERN = "https?://([A-Za-z0-9.-]+)"
+
+
+def url_columns(
+    content: Column, blocked_domains: list[str] | None = None
+) -> list[Column]:
+    """URL/domain curation signals: ``n_urls``, ``n_domains`` (distinct,
+    lowercased hosts), and — when a blocklist is given — ``blocked`` (any
+    extracted host in it). The web-corpus hygiene pass (drop docs citing
+    spam/adult/malware domains) next to the secret scan; pure codegen
+    ``regexp_extract_all``."""
+    domains = F.transform(
+        F.regexp_extract_all(content, F.lit(URL_PATTERN), F.lit(1)), F.lower
+    )
+    cols = [
+        F.size(domains).cast("long").alias("n_urls"),
+        F.size(F.array_distinct(domains)).cast("long").alias("n_domains"),
+    ]
+    if blocked_domains is not None:
+        cols.append(
+            F.exists(
+                domains, lambda d: d.isin([b.lower() for b in blocked_domains])
+            ).alias("blocked")
+        )
+    return cols
+
+
+def domain_counts(
+    docs: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Corpus-wide domain frequency table ``(domain, n_docs, n_refs)`` —
+    the input a blocklist/allowlist policy is tuned on. One narrow shuffle
+    (host strings are short); map-side partial agg on both counts."""
+    d = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(
+            F.transform(
+                F.regexp_extract_all(
+                    F.col(content_col), F.lit(URL_PATTERN), F.lit(1)
+                ),
+                F.lower,
+            )
+        ).alias("domain"),
+    )
+    return d.groupBy("domain").agg(
+        F.countDistinct("__doc").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_refs"),
+    )
+
+
+def corpus_freq_profile(
+    docs: DataFrame,
+    rare_max_count: int = 2,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Corpus-relative token-rarity signals per doc — the engine-portable
+    stand-in for an LM-perplexity quality filter (CCNet-style): documents
+    whose tokens are corpus-rare (hex dumps, minified blobs, gibberish)
+    score high ``rare_token_frac`` / low ``mean_token_count``; templated
+    boilerplate scores the opposite. Columns:
+
+    * ``n_tokens`` — token instances in the doc.
+    * ``mean_token_count`` — average corpus-wide occurrence count over the
+      doc's token INSTANCES (each instance weighted, so a doc repeating one
+      common token scores high).
+    * ``rare_token_frac`` — fraction of instances whose corpus count is
+      <= ``rare_max_count``.
+
+    Deliberately integer-exact: both signals are ratios of BIGINT sums
+    (no log/exp), so the DuckDB oracle reproduces them bit-for-bit — a true
+    unigram log-prob mean would hang the correctness gate on libm's last
+    ulp. A model-based perplexity filter slots in as an Arrow UDF next to
+    the fingerprint kernel if a real LM artifact is available.
+
+    Scale shape: explode to (doc, token-hash: 8 bytes), ONE narrow shuffle
+    to (doc, tok, c_in_doc), one more for the corpus vocab (tok, count) —
+    both map-side partially aggregated — then an 8-byte-key join and a
+    per-doc sum. Token text never shuffles; everything is codegen."""
+    toks = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(
+            F.transform(tokens_col(F.col(content_col)), lambda t: F.xxhash64(t))
+        ).alias("__tok"),
+    )
+    per_doc_tok = toks.groupBy("__doc", "__tok").agg(
+        F.count("*").alias("__c_in_doc")
+    )
+    vocab = toks.groupBy("__tok").agg(F.count("*").alias("__c_corpus"))
+    joined = per_doc_tok.join(vocab, "__tok")
+    scored = joined.groupBy("__doc").agg(
+        F.sum("__c_in_doc").cast("long").alias("n_tokens"),
+        F.sum(F.col("__c_in_doc") * F.col("__c_corpus"))
+        .cast("long")
+        .alias("__w"),
+        F.sum(
+            F.when(
+                F.col("__c_corpus") <= rare_max_count, F.col("__c_in_doc")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("__rare"),
+    )
+    spine = docs.select(F.col(id_col).alias("__doc"))
+    return spine.join(scored, "__doc", "left").select(
+        F.col("__doc").alias(id_col),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        _safe_ratio(F.coalesce("__w", F.lit(0)), F.coalesce("n_tokens", F.lit(0))).alias(
+            "mean_token_count"
+        ),
+        _safe_ratio(
+            F.coalesce("__rare", F.lit(0)), F.coalesce("n_tokens", F.lit(0))
+        ).alias("rare_token_frac"),
+    )
+
+
 def text_profile(docs: DataFrame, content_col: str = "content") -> DataFrame:
     """One-pass curation profile: id columns + token count + quality features
     + language guess + secret/PII counts + license classification — all

@@ -156,6 +156,50 @@ def test_plan_no_udf_no_cartesian(spark):
     assert "Cartesian" not in plan and "NestedLoop" not in plan
 
 
+def test_corpus_freq_profile_values(spark):
+    from imgdupes_spark.functions.text import corpus_freq_profile
+
+    df = _docs(spark, [(1, "a a b"), (2, "a c"), (3, "")])
+    out = {
+        r.doc_id: (r.n_tokens, r.mean_token_count, r.rare_token_frac)
+        for r in corpus_freq_profile(df, content_col="text").collect()
+    }
+    # vocab: a=3, b=1, c=1; rare = count <= 2
+    assert out[1] == (3, round((2 * 3 + 1) / 3, 6), round(1 / 3, 6))
+    assert out[2] == (2, round((3 + 1) / 2, 6), 0.5)
+    assert out[3] == (0, 0.0, 0.0)  # empty doc survives on the spine
+
+
+def test_url_columns_and_domain_counts(spark):
+    from imgdupes_spark.functions.text import domain_counts, url_columns
+
+    df = _docs(
+        spark,
+        [
+            (1, "see https://A.example.com/x and http://a.example.COM/y plus http://b.org"),
+            (2, "no urls at all"),
+            (3, "dup http://bad.net/1 http://bad.net/2"),
+        ],
+    )
+    cols = url_columns(F.col("text"), blocked_domains=["BAD.net"])
+    got = {
+        r.doc_id: (r.n_urls, r.n_domains, r.blocked)
+        for r in df.select("doc_id", *cols).collect()
+    }
+    assert got[1] == (3, 2, False)  # case-folded host dedup
+    assert got[2] == (0, 0, False)
+    assert got[3] == (2, 1, True)  # blocklist is case-insensitive too
+    dc = {
+        r.domain: (r.n_docs, r.n_refs)
+        for r in domain_counts(df, content_col="text").collect()
+    }
+    assert dc == {
+        "a.example.com": (1, 2),
+        "b.org": (1, 1),
+        "bad.net": (1, 2),
+    }
+
+
 def test_redact_secrets_values(spark):
     df = spark.createDataFrame(
         [
