@@ -611,6 +611,36 @@ def _q_domain_counts(spark, sf_dir):
     )
 
 
+def _q_type2_clones(spark, sf_dir):
+    """Type-2 code-clone clustering (functions/code.py): identifier/number-
+    masked token streams detect copy-paste-then-rename duplication the
+    exact pass misses by construction. Planted device: two code-snippet
+    families are substituted on doc_id strata with PER-DOC identifier names
+    (load<id>, count<id> — every member of a family is a rename of the
+    others), same substitution in the SQL twin; each family must collapse
+    to one cluster."""
+    from imgdupes_spark.functions.code import type2_clone_clusters
+
+    d = _docs(_prep(spark), sf_dir)
+    sid = F.col("doc_id").cast("string")
+    snip_a = F.concat(
+        F.lit("def load"), sid, F.lit("(path"), sid, F.lit("): data"), sid,
+        F.lit(" = open(path"), sid, F.lit("); return data"), sid,
+    )
+    snip_b = F.concat(
+        F.lit("while count"), sid, F.lit(" < 10: total"), sid,
+        F.lit(" += count"), sid, F.lit("; count"), sid, F.lit(" += 1"),
+    )
+    planted = (
+        F.when(F.col("doc_id") % 9 == 0, snip_a)
+        .when(F.col("doc_id") % 9 == 4, snip_b)
+        .otherwise(F.col("text"))
+    )
+    return type2_clone_clusters(
+        d.select("doc_id", planted.alias("text")), content_col="text"
+    )
+
+
 def _q_repetition_profile(spark, sf_dir):
     """Gopher-style repetition/boilerplate signals per doc: duplicate-line
     fraction (row count + chars), type/token ratio, top-token share — the
@@ -1031,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rarity": _q_corpus_rarity,
         "url_profile": _q_url_profile,
         "domain_counts": _q_domain_counts,
+        "type2_clones": _q_type2_clones,
         "probe_exact": _q_probe_exact,
         "kept_corpus": _q_kept_corpus,
         # value-oracled via planted-ground-truth SQL (the kernels are not
@@ -1054,6 +1085,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _TOKS = "list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '')"
+
+# the pinned CLONE_KEYWORDS list quoted for the type2_clones oracle
+from imgdupes_spark.functions.code import CLONE_KEYWORDS as _CLONE_KW
+
+_CLONE_KW_SQL = ", ".join(f"'{k}'" for k in _CLONE_KW)
 
 _KNN_SQL = """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -1419,6 +1455,36 @@ def _static_oracle_sql() -> dict[str, str]:
                 WHEN contains(lower(t), 'mozilla public license') THEN 'mpl-2.0'
                 ELSE 'unknown' END AS license_guess
             FROM p
+        """,
+        "type2_clones": f"""
+            WITH p AS (
+              SELECT doc_id,
+                CASE
+                  WHEN doc_id % 9 = 0 THEN 'def load' || doc_id || '(path' || doc_id
+                    || '): data' || doc_id || ' = open(path' || doc_id
+                    || '); return data' || doc_id
+                  WHEN doc_id % 9 = 4 THEN 'while count' || doc_id || ' < 10: total'
+                    || doc_id || ' += count' || doc_id || '; count' || doc_id
+                    || ' += 1'
+                  ELSE text END AS t
+              FROM documents),
+            n AS (
+              SELECT doc_id, array_to_string(list_transform(
+                regexp_extract_all(t,
+                  '[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^A-Za-z0-9_\\s]'),
+                x -> CASE WHEN x IN ({_CLONE_KW_SQL}) THEN x
+                          WHEN regexp_matches(x, '^[0-9]+$') THEN 'N'
+                          WHEN regexp_matches(x, '^[A-Za-z_]') THEN 'ID'
+                          ELSE x END), ' ') AS stream
+              FROM p),
+            c AS (
+              SELECT doc_id,
+                min(doc_id) OVER (PARTITION BY stream) AS cluster_id,
+                count(*) OVER (PARTITION BY stream) AS cluster_size
+              FROM n)
+            SELECT doc_id, cluster_id,
+                   CAST(cluster_size AS BIGINT) AS cluster_size
+            FROM c WHERE cluster_size > 1
         """,
         "corpus_rarity": f"""
             WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

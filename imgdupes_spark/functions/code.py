@@ -1,0 +1,96 @@
+"""Type-2 code-clone fingerprints: detect code duplicated up to consistent
+identifier/literal renaming — the classic clone-detection normalization
+(CCFinder / SourcererCC lineage): mask identifiers and numeric literals,
+keep keywords, operators, and structure, then hash the masked token stream.
+A copy-pasted function whose variables were renamed (`data` -> `payload`)
+has a DIFFERENT sha256, a different SimHash token multiset at small edit
+densities zero, and identical STRUCTURE — exactly what this pass keys on.
+
+The reference engine has no code-aware normalization (it fingerprints raw
+bytes); this extends the exact-dup family (operators/lsh.py exact pass) one
+abstraction level up for source-code corpora.
+
+Spec (pinned; the DuckDB oracle replays it verbatim):
+
+  token     = `[A-Za-z_][A-Za-z0-9_]*` | `[0-9]+` | any single non-space,
+              non-word char (operators/punctuation survive one-by-one)
+  masking   = keyword (case-sensitive, the pinned CLONE_KEYWORDS list)
+              -> itself; other identifier -> `ID`; number -> `N`;
+              punctuation -> itself
+  identity  = xxhash64 of the space-joined masked stream (8-byte grouping
+              key; the oracle groups on the stream STRING — equivalent
+              absent 64-bit collisions, same convention as the span grams)
+
+Whitespace and comments-as-tokens nuances are deliberately OUT of the
+spec: a formatter-normalized corpus (or the whitespace-insensitive
+tokenize in fingerprints.py) is the right input for type-1 concerns; this
+pass adds the rename dimension. Everything is whole-stage codegen — one
+regexp_extract_all + a transform lambda + xxhash64; no UDFs, no shuffles
+until the caller groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+CODE_TOKEN_RE = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^A-Za-z0-9_\\s]"
+
+# cross-language common control/declaration words, case-sensitive, pinned:
+# masking these would merge structurally different code ("if" vs "while"
+# bodies); masking too many real-word identifiers costs nothing but recall
+# granularity. Sorted for deterministic plans.
+CLONE_KEYWORDS = sorted(
+    [
+        "and", "as", "break", "case", "catch", "class", "const",
+        "continue", "def", "do", "elif", "else", "except", "finally",
+        "for", "from", "function", "if", "import", "in", "is", "lambda",
+        "let", "new", "not", "or", "pass", "private", "public", "raise",
+        "return", "static", "struct", "switch", "this", "try", "var",
+        "void", "while", "with", "yield", "False", "None", "True",
+        "false", "null", "true",
+    ]
+)
+
+
+def type2_tokens_col(content: Column) -> Column:
+    """Masked token stream as an array column (the pinned spec above)."""
+    toks = F.regexp_extract_all(content, F.lit(CODE_TOKEN_RE), F.lit(0))
+    return F.transform(
+        toks,
+        lambda t: F.when(t.isin(*CLONE_KEYWORDS), t)
+        .when(t.rlike("^[0-9]+$"), F.lit("N"))
+        .when(t.rlike("^[A-Za-z_]"), F.lit("ID"))
+        .otherwise(t),
+    )
+
+
+def type2_fingerprint_col(content: Column) -> Column:
+    """64-bit clone fingerprint: xxhash64 over the space-joined masked
+    stream. Empty/whitespace-only content hashes the empty string —
+    callers should quarantine empties first (they are structurally
+    'identical' to each other by definition)."""
+    return F.xxhash64(F.concat_ws(" ", type2_tokens_col(content)))
+
+
+def type2_clone_clusters(
+    docs: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Cluster docs whose masked token streams are identical:
+    ``(id_col, cluster_id, cluster_size)`` for members of size>1 clusters,
+    cluster_id = min member id (the exact-pass convention,
+    operators/lsh.py). ONE shuffle: both window functions share the
+    8-byte-fingerprint partitioning; content never shuffles."""
+    fp = docs.select(
+        F.col(id_col),
+        type2_fingerprint_col(F.col(content_col)).alias("__fp"),
+    )
+    w = Window.partitionBy("__fp")
+    return (
+        fp.select(
+            id_col,
+            F.min(id_col).over(w).alias("cluster_id"),
+            F.count("*").over(w).cast("long").alias("cluster_size"),
+        )
+        .filter(F.col("cluster_size") > 1)
+    )

@@ -200,6 +200,40 @@ def test_url_columns_and_domain_counts(spark):
     }
 
 
+def test_type2_clone_normalization_golden(spark):
+    from imgdupes_spark.functions.code import type2_tokens_col
+
+    df = _docs(spark, [(1, "def load(path): n = 42; return n + 0.5")])
+    toks = df.select(type2_tokens_col(F.col("text")).alias("t")).first().t
+    # keywords survive, identifiers mask to ID, ints to N, punctuation
+    # token-by-token ('0.5' is N . N under the int-only number rule)
+    assert toks == [
+        "def", "ID", "(", "ID", ")", ":", "ID", "=", "N", ";",
+        "return", "ID", "+", "N", ".", "N",
+    ]
+
+
+def test_type2_clusters_rename_invariant(spark):
+    from imgdupes_spark.functions.code import type2_clone_clusters
+
+    df = _docs(
+        spark,
+        [
+            (1, "def f(a, b): return a + b"),
+            (2, "def g(x, y): return x + y"),      # pure rename of 1
+            (3, "def h(x, y): return x - y"),      # operator differs
+            (4, "while i < 10: i += 1"),
+            (5, "while j < 99: j += 2"),           # rename + literal change
+            (6, "if k < 10: k += 1"),              # keyword differs from 4
+        ],
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in type2_clone_clusters(df, content_col="text").collect()
+    }
+    assert out == {1: (1, 2), 2: (1, 2), 4: (4, 2), 5: (4, 2)}
+
+
 def test_redact_secrets_values(spark):
     df = spark.createDataFrame(
         [
