@@ -1,0 +1,70 @@
+"""duplicate_spans scale protocol: the same synthetic corpus as bench.py at
+two sizes (default 100k / 400k docs = 4x), min-of-k alternating legs, so
+BASELINE.md can evidence the operator's linearity claim (gram explode +
+one narrow shuffle + semi-join + per-doc window) with a measured 4x row
+instead of a docstring promise.
+
+Planted truth rides along: the corpus's exact twins (i%11) and near twins
+(i%17, one appended token) mean every twin doc must report >= 1 span
+covering (nearly) all its tokens — the count is printed for sanity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from imgdupes_spark.corpus import synthetic_corpus_spark
+from imgdupes_spark.operators.spans import duplicate_spans
+from imgdupes_spark.session import get_spark
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sizes = [
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SPANS_SIZES", "100000,400000").split(",")
+    ]
+    k = int(os.environ.get("SPARK_GRAFT_SPANS_REPEATS", "2"))
+    spark = get_spark(master=f"local[{cpus}]", app_name="spans_bench")
+    rows = []
+    for n in sizes:
+        corpus = synthetic_corpus_spark(spark, n).select(
+            F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
+        ).persist()
+        n_docs = corpus.count()
+        legs, n_spans = [], 0
+        for _ in range(k):
+            t0 = time.time()
+            n_spans = duplicate_spans(corpus, k=8).count()
+            legs.append(round(time.time() - t0, 2))
+        corpus.unpersist()
+        rows.append(
+            {
+                "n_docs": int(n_docs),
+                "legs_sec": legs,
+                "best_sec": min(legs),
+                "docs_per_sec": round(n_docs / min(legs), 1),
+                "n_spans": int(n_spans),
+            }
+        )
+        print(f"# {n_docs} docs -> {min(legs)}s, {n_spans} spans", file=sys.stderr)
+    r = {
+        "metric": "duplicate_spans_scaling",
+        "unit": "sec",
+        "cpus": cpus,
+        "rows": rows,
+    }
+    if len(rows) == 2:
+        r["size_ratio"] = round(rows[1]["n_docs"] / rows[0]["n_docs"], 2)
+        r["time_ratio"] = round(rows[1]["best_sec"] / rows[0]["best_sec"], 2)
+    print(json.dumps(r))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
