@@ -154,6 +154,14 @@ def test_plan_no_udf_no_cartesian(spark):
     plan = duplicate_spans(df, k=4, content_col="text")._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan  # pure JVM codegen
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+    # min_docs=2 fast path: ONE gram explode (the generic two-pass plans
+    # two Generate nodes because the agg and the join side each recompute
+    # the tokenize+gram projection)
+    assert plan.count("Generate") == 1
+    generic = duplicate_spans(
+        df, k=4, min_docs=3, content_col="text"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert generic.count("Generate") == 2
 
 
 def test_corpus_freq_profile_values(spark):
