@@ -73,6 +73,24 @@ def type2_fingerprint_col(content: Column) -> Column:
     return F.xxhash64(F.concat_ws(" ", type2_tokens_col(content)))
 
 
+def type2_normalize(
+    docs: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """``content_col`` replaced by the space-joined masked token stream —
+    the composition device for TYPE-3 (gapped) clones: feed the normalized
+    corpus into the standard near-dup engine (functions/fingerprints.
+    signatures -> operators/clusters.dedupe_members) and the SimHash/
+    MinHash thresholds now measure structural similarity that is invariant
+    to identifier renaming, so a renamed copy with a few inserted
+    statements clusters the way a verbatim copy with a few edits does.
+    Type-1 = exact pass on raw bytes; type-2 = :func:`type2_clone_clusters`;
+    type-3 = this + the LSH engine. Pure projection, no shuffle."""
+    return docs.withColumn(
+        content_col,
+        F.concat_ws(" ", type2_tokens_col(F.col(content_col))),
+    )
+
+
 def type2_clone_clusters(
     docs: DataFrame, id_col: str = "doc_id", content_col: str = "content"
 ) -> DataFrame:

@@ -242,6 +242,37 @@ def test_type2_clusters_rename_invariant(spark):
     assert out == {1: (1, 2), 2: (1, 2), 4: (4, 2), 5: (4, 2)}
 
 
+def test_type3_clone_composition(spark):
+    """type2_normalize + the standard near-dup engine = type-3 clones: a
+    renamed copy WITH an inserted statement (neither exact- nor
+    type-2-identical) must cluster with its original."""
+    from imgdupes_spark.config import DedupeConfig
+    from imgdupes_spark.functions.code import type2_normalize
+    from imgdupes_spark.functions.fingerprints import signatures
+    from imgdupes_spark.operators.clusters import dedupe_members
+
+    body_a = "def f(a, b):\n" + "\n".join(
+        f"    a = a + b * {i}" for i in range(40)
+    ) + "\n    return a"
+    # rename a->x, b->y AND insert one statement: type-3, not type-2
+    body_b = "def g(x, y):\n" + "\n".join(
+        f"    x = x + y * {i}" for i in range(40)
+    ) + "\n    x = x - 1\n    return x"
+    unrelated = "while q < 10:\n    print(q)\n    q = q * q - 7"
+    corpus = spark.createDataFrame(
+        [
+            ("r", "a.py", "c0", "py", body_a),
+            ("r", "b.py", "c0", "py", body_b),
+            ("r", "u.py", "c0", "py", unrelated),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    cfg = DedupeConfig(passes=("simhash", "minhash"), containment_enabled=False)
+    members = dedupe_members(signatures(type2_normalize(corpus), cfg), cfg)
+    paths = {r.path for r in members.select("path").collect()}
+    assert paths == {"a.py", "b.py"}
+
+
 def test_redact_secrets_values(spark):
     df = spark.createDataFrame(
         [
