@@ -558,6 +558,20 @@ def _q_redact_secrets(spark, sf_dir):
     return d.select("doc_id", redact_secrets_col(planted).alias("text"))
 
 
+def _q_strip_dup_spans(spark, sf_dir):
+    """The duplicated-span dedup ACTION (operators/spans.py
+    strip_duplicate_spans): non-canonical duplicated passages are removed
+    token-level, the min-doc_id owner keeps its text. Same planted-offset
+    passage corpus as duplicate_spans; the SQL twin replays the gram
+    min-owner windows, the island merge, and the filter-with-index
+    rebuild."""
+    from imgdupes_spark.operators.spans import strip_duplicate_spans
+
+    return strip_duplicate_spans(
+        _span_planted_docs(spark, sf_dir), k=8, content_col="text"
+    )
+
+
 def _q_corpus_rarity(spark, sf_dir):
     """Corpus-relative token-rarity profile (functions/text.py
     corpus_freq_profile): the integer-exact stand-in for an LM-perplexity
@@ -1062,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_profile": _q_url_profile,
         "domain_counts": _q_domain_counts,
         "type2_clones": _q_type2_clones,
+        "strip_dup_spans": _q_strip_dup_spans,
         "probe_exact": _q_probe_exact,
         "kept_corpus": _q_kept_corpus,
         # value-oracled via planted-ground-truth SQL (the kernels are not
@@ -1615,6 +1630,63 @@ def _static_oracle_sql() -> dict[str, str]:
               CAST(max(pos) + 8 AS BIGINT) AS span_end,
               CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
             FROM isl GROUP BY doc_id, island
+        """,
+        "strip_dup_spans": """
+            WITH p AS (
+              SELECT doc_id,
+                CASE
+                  WHEN doc_id % 7 = 0 THEN text || ' zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9'
+                  WHEN doc_id % 7 = 3 THEN 'zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 ' || text
+                  ELSE text END AS t
+              FROM documents),
+            tk AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(t), '[^0-9a-z]+'),
+                            x -> x <> '') AS toks
+              FROM p),
+            g AS (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(toks) - 7, 0)),
+                i -> {'pos': i - 1,
+                      'gram': array_to_string(toks[i:i+7], ' ')})) AS pg
+              FROM tk),
+            eg AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g),
+            mm AS (
+              SELECT doc_id, pos,
+                min(doc_id) OVER (PARTITION BY gram) AS gmin,
+                max(doc_id) OVER (PARTITION BY gram) AS gmax
+              FROM eg),
+            hits AS (
+              SELECT doc_id, pos FROM mm
+              WHERE gmin <> gmax AND doc_id <> gmin),
+            brk AS (
+              SELECT doc_id, pos,
+                CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS b
+              FROM hits),
+            isl AS (
+              SELECT doc_id, pos,
+                sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM brk),
+            spans AS (
+              SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+              FROM isl GROUP BY doc_id, island),
+            spl AS (
+              SELECT doc_id, list({'s': s, 'e': e}) AS sp
+              FROM spans GROUP BY doc_id)
+            SELECT tk.doc_id,
+              -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+              -- concat_ws over an empty array is '' (the fully-dropped doc)
+              coalesce(array_to_string(list_filter(toks, (x, i) ->
+                len(list_filter(coalesce(sp, []),
+                    r -> (i-1) >= r.s AND (i-1) < r.e)) = 0), ' '), '') AS text,
+              CAST(len(toks) - len(list_filter(toks, (x, i) ->
+                len(list_filter(coalesce(sp, []),
+                    r -> (i-1) >= r.s AND (i-1) < r.e)) = 0))
+                AS BIGINT) AS n_tokens_dropped
+            FROM tk LEFT JOIN spl USING (doc_id)
         """,
         "dup_span_stats": """
             WITH p AS (

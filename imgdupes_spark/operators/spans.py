@@ -165,6 +165,105 @@ def duplicate_spans(
     )
 
 
+def strip_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """The dedup ACTION over duplicated spans: every doc comes back with
+    its NON-CANONICAL duplicated passages removed — the canonical
+    occurrence (the minimum ``id_col`` among the docs sharing each k-gram)
+    keeps its text, every other doc loses the covered tokens. This is the
+    exact-substring training-data dedup of Lee et al. 2021 (remove all but
+    one occurrence of every duplicated passage), with min-id as the
+    deterministic keep rule.
+
+    Output: input columns with ``content_col`` rewritten to the
+    space-joined surviving TOKEN stream, plus ``n_tokens_dropped``.
+    Rewriting is token-level (the tokenize in fingerprints.py), so
+    original whitespace/punctuation inside and around removed spans is not
+    preserved — the right input is a training-token pipeline, not a
+    source-archival one (the detection-only :func:`duplicate_spans` is the
+    lossless surface).
+
+    Canonicality is per GRAM: when a doc is the min owner of some but not
+    all windows of a shared passage (staggered sharers), only the windows
+    it does not own are removed — coverage semantics, same caveat family
+    as the chimera note above. Docs with no duplicated span pass through
+    with ``n_tokens_dropped = 0``.
+
+    Plan shape: the detection windows (one gram-hash window marking
+    hot + min owner, one per-doc island merge) plus a per-doc span-list
+    collect (rows = spans, small) broadcast-joined back onto the doc spine;
+    the final rewrite is a row-scope filter-with-index — no extra
+    content-bearing shuffle."""
+    toks = tokens_col(F.col(content_col))
+    grams = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(positional_gram_hashes(F.col(content_col), k)).alias(
+            "__pos", "__gh"
+        ),
+    )
+    wg = Window.partitionBy("__gh")
+    hits = (
+        grams.select(
+            "__doc",
+            "__pos",
+            F.min("__doc").over(wg).alias("__gmin"),
+            F.max("__doc").over(wg).alias("__gmax"),
+        )
+        .filter(
+            (F.col("__gmin") != F.col("__gmax"))
+            & (F.col("__doc") != F.col("__gmin"))
+        )
+        .select("__doc", "__pos")
+    )
+    w = Window.partitionBy("__doc").orderBy("__pos")
+    prev_end = F.max(F.col("__pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.select(
+        "__doc",
+        "__pos",
+        F.sum(
+            (F.col("__pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+        )
+        .over(w)
+        .alias("__isl"),
+    )
+    spans = (
+        islands.groupBy("__doc", "__isl")
+        .agg(
+            F.min("__pos").alias("s"),
+            (F.max("__pos") + k).alias("e"),
+        )
+        .groupBy("__doc")
+        .agg(F.collect_list(F.struct("s", "e")).alias("__spans"))
+    )
+    out_cols = [c for c in docs.columns if c != content_col]
+    joined = docs.join(
+        spans, F.col(id_col) == F.col("__doc"), "left"
+    )
+    sp = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<s:int,e:int>>"),
+    )
+    # keep token i unless a removal span covers it; filter-with-index is
+    # row-scope (O(tokens x spans-in-doc), spans per doc are few)
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            sp, lambda r: (i >= r["s"]) & (i < r["e"])
+        ),
+    )
+    return joined.select(
+        *out_cols,
+        F.concat_ws(" ", kept).alias(content_col),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_dropped"),
+    )
+
+
 def duplicate_span_stats(
     docs: DataFrame,
     k: int = 8,

@@ -242,6 +242,31 @@ def test_type2_clusters_rename_invariant(spark):
     assert out == {1: (1, 2), 2: (1, 2), 4: (4, 2), 5: (4, 2)}
 
 
+def test_strip_duplicate_spans_canonical_keep(spark):
+    from imgdupes_spark.operators.spans import strip_duplicate_spans
+
+    shared = "s1 s2 s3 s4 s5"
+    df = _docs(
+        spark,
+        [
+            (1, f"{shared} uno one"),
+            (2, f"lead {shared} dos two"),
+            (3, f"{shared} tres three"),
+            (4, "completely unrelated content here"),
+        ],
+    )
+    out = {
+        r.doc_id: (r.text, r.n_tokens_dropped)
+        for r in strip_duplicate_spans(df, k=5, content_col="text").collect()
+    }
+    # doc 1 is the min owner of every shared gram: keeps everything
+    assert out[1] == ("s1 s2 s3 s4 s5 uno one", 0)
+    # docs 2 and 3 lose exactly the shared passage, keep their unique text
+    assert out[2] == ("lead dos two", 5)
+    assert out[3] == ("tres three", 5)
+    assert out[4] == ("completely unrelated content here", 0)
+
+
 def test_type3_clone_composition(spark):
     """type2_normalize + the standard near-dup engine = type-3 clones: a
     renamed copy WITH an inserted statement (neither exact- nor
