@@ -42,6 +42,12 @@ def main() -> None:
         help="parquet of benchmark texts (column `text`) for the "
         "decontamination report inside --curation",
     )
+    ap.add_argument(
+        "--span-min-docs",
+        type=int,
+        help="also report cross-doc duplicated-span coverage inside "
+        "--curation (opt-in: the gram explode scales with corpus tokens)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("imgdupes_spark_dedupe").getOrCreate()
@@ -61,9 +67,14 @@ def main() -> None:
     corpus = load_corpus(spark, path=args.input, table=args.table, fmt=args.format)
     pipe = DedupePipeline(spark, cfg, args.workdir)
     members = pipe.run(corpus, resume=not args.no_resume)
-    if args.curation or args.benchmark:  # --benchmark implies the stage
+    if args.curation or args.benchmark or args.span_min_docs:
         bench = spark.read.parquet(args.benchmark) if args.benchmark else None
-        pipe.run_curation(corpus, bench=bench, resume=not args.no_resume)
+        pipe.run_curation(
+            corpus,
+            bench=bench,
+            resume=not args.no_resume,
+            span_min_docs=args.span_min_docs,
+        )
     n = members.count()
     print(f"clustered members: {n}; stages: "
           + ", ".join(f"{r.name}={r.rows} rows/{r.seconds:.1f}s"
