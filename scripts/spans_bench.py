@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from pyspark.sql import functions as F
 
 from imgdupes_spark.corpus import synthetic_corpus_spark
