@@ -531,6 +531,22 @@ def _q_dup_span_stats(spark, sf_dir):
     )
 
 
+def _q_span_attribution(spark, sf_dir):
+    """Duplicated spans WITH canonical-partner attribution
+    (operators/spans.py attribute_duplicate_spans): each hot k-gram window
+    attributes to the min-doc_id other owner (the second-min for the min
+    owner itself), keeping the pass linear where full pairwise attribution
+    would go quadratic on boilerplate grams. Same planted-offset passage
+    corpus as duplicate_spans; the SQL twin replays both chained gram
+    windows (min owner, then min-of-others — split across CTEs) and the
+    per-(doc, partner) island merge."""
+    from imgdupes_spark.operators.spans import attribute_duplicate_spans
+
+    return attribute_duplicate_spans(
+        _span_planted_docs(spark, sf_dir), k=8, content_col="text"
+    )
+
+
 def _q_redact_secrets(spark, sf_dir):
     """Secret/PII REDACTION (functions/text.py redact_secrets_col): the
     scrub counterpart to secret_scan's detect — every pattern match becomes
@@ -1071,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_secrets": _q_redact_secrets,
         "strip_boilerplate": _q_strip_boilerplate,
         "duplicate_spans": _q_duplicate_spans,
+        "span_attribution": _q_span_attribution,
         "dup_span_stats": _q_dup_span_stats,
         "corpus_rarity": _q_corpus_rarity,
         "url_profile": _q_url_profile,
@@ -1630,6 +1647,58 @@ def _static_oracle_sql() -> dict[str, str]:
               CAST(max(pos) + 8 AS BIGINT) AS span_end,
               CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
             FROM isl GROUP BY doc_id, island
+        """,
+        "span_attribution": """
+            WITH p AS (
+              SELECT doc_id,
+                CASE
+                  WHEN doc_id % 7 = 0 THEN text || ' zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9'
+                  WHEN doc_id % 7 = 3 THEN 'zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 ' || text
+                  ELSE text END AS t
+              FROM documents),
+            tk AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(t), '[^0-9a-z]+'),
+                            x -> x <> '') AS toks
+              FROM p),
+            g AS (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(toks) - 7, 0)),
+                i -> {'pos': i - 1,
+                      'gram': array_to_string(toks[i:i+7], ' ')})) AS pg
+              FROM tk),
+            eg AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g),
+            mm AS (
+              SELECT doc_id, pos, gram,
+                min(doc_id) OVER (PARTITION BY gram) AS gmin
+              FROM eg),
+            m2 AS (
+              SELECT doc_id, pos, gmin,
+                min(CASE WHEN doc_id <> gmin THEN doc_id END)
+                  OVER (PARTITION BY gram) AS g2
+              FROM mm),
+            hits AS (
+              SELECT doc_id, pos,
+                CASE WHEN doc_id = gmin THEN g2 ELSE gmin END AS partner
+              FROM m2 WHERE g2 IS NOT NULL),
+            brk AS (
+              SELECT doc_id, partner, pos,
+                CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                    PARTITION BY doc_id, partner ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS b
+              FROM hits),
+            isl AS (
+              SELECT doc_id, partner, pos,
+                sum(b) OVER (PARTITION BY doc_id, partner ORDER BY pos)
+                  AS island
+              FROM brk)
+            SELECT doc_id,
+              partner AS partner_id,
+              CAST(min(pos) AS BIGINT) AS span_start,
+              CAST(max(pos) + 8 AS BIGINT) AS span_end,
+              CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+            FROM isl GROUP BY doc_id, partner, island
         """,
         "strip_dup_spans": """
             WITH p AS (

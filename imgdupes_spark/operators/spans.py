@@ -264,6 +264,99 @@ def strip_duplicate_spans(
     )
 
 
+def attribute_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Duplicated spans WITH partner attribution: one row per maximal
+    token range a document shares with a specific canonical partner —
+    ``(id_col, partner_id, span_start, span_end, span_tokens)`` — the
+    provenance view of :func:`duplicate_spans` ("this passage in doc X
+    duplicates doc Y"), the report a curation reviewer or a
+    license-compliance pass actually reads.
+
+    Attribution rule (the scale decision): each hot k-gram window
+    attributes to ONE partner — the minimum ``id_col`` among the other
+    documents containing the gram (for the min owner itself, the
+    second-minimum). Full pairwise attribution is a per-gram self-join
+    that goes quadratic on boilerplate grams shared by thousands of docs;
+    canonical attribution keeps the pass linear in hot-gram occurrences
+    (the same min-id convention as :func:`strip_duplicate_spans`'s keep
+    rule, so "partner" always names the doc that would KEEP the passage).
+    Consequence: a coverage run that chimera-merges in
+    :func:`duplicate_spans` SPLITS here wherever the canonical partner
+    changes mid-passage, and overlapping per-partner spans may both
+    appear — per-partner coverage, not a global union.
+
+    Plan shape: the gram explode feeds TWO chained windows over the same
+    gram-hash partitioning (min owner, then min-of-others — Spark cannot
+    nest the second inside the first, but the shared partitioning means
+    one exchange feeds both), then the usual per-(doc, partner) island
+    merge. Still zero UDFs, zero joins, ~24-byte shuffle rows."""
+    grams = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(positional_gram_hashes(F.col(content_col), k)).alias(
+            "__pos", "__gh"
+        ),
+    )
+    wg = Window.partitionBy("__gh")
+    with_min = grams.select(
+        "__doc",
+        "__pos",
+        "__gh",
+        F.min("__doc").over(wg).alias("__gmin"),
+    )
+    with_second = with_min.select(
+        "__doc",
+        "__pos",
+        "__gmin",
+        F.min(
+            F.when(F.col("__doc") != F.col("__gmin"), F.col("__doc"))
+        )
+        .over(wg)
+        .alias("__g2"),
+    )
+    hits = with_second.filter(F.col("__g2").isNotNull()).select(
+        "__doc",
+        "__pos",
+        F.when(F.col("__doc") == F.col("__gmin"), F.col("__g2"))
+        .otherwise(F.col("__gmin"))
+        .alias("__partner"),
+    )
+    w = Window.partitionBy("__doc", "__partner").orderBy("__pos")
+    prev_end = F.max(F.col("__pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.select(
+        "__doc",
+        "__partner",
+        "__pos",
+        F.sum(
+            (F.col("__pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+        )
+        .over(w)
+        .alias("__isl"),
+    )
+    return (
+        islands.groupBy("__doc", "__partner", "__isl")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + k).alias("span_end"),
+        )
+        .select(
+            F.col("__doc").alias(id_col),
+            F.col("__partner").alias("partner_id"),
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+            (F.col("span_end") - F.col("span_start"))
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )
+
+
 def duplicate_span_stats(
     docs: DataFrame,
     k: int = 8,

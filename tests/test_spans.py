@@ -164,6 +164,76 @@ def test_plan_no_udf_no_cartesian(spark):
     assert generic.count("Generate") == 2
 
 
+def _attr(df, **kw):
+    from imgdupes_spark.operators.spans import attribute_duplicate_spans
+
+    return sorted(
+        (r.doc_id, r.partner_id, r.span_start, r.span_end, r.span_tokens)
+        for r in attribute_duplicate_spans(
+            df, content_col="text", **kw
+        ).collect()
+    )
+
+
+def test_attribution_canonical_partner(spark):
+    # three docs share one passage: the min owner (1) attributes to the
+    # second-min (2); everyone else attributes to the min owner.
+    shared = "s1 s2 s3 s4 s5"
+    df = _docs(
+        spark,
+        [
+            (1, f"{shared} uno"),
+            (2, f"lead {shared} dos"),
+            (3, f"{shared} tres"),
+            (4, "unrelated content sits here"),
+        ],
+    )
+    assert _attr(df, k=5) == [
+        (1, 2, 0, 5, 5),
+        (2, 1, 1, 6, 5),
+        (3, 1, 0, 5, 5),
+    ]
+
+
+def test_attribution_splits_where_partner_changes(spark):
+    # doc 3 carries A+B contiguous; A is shared with doc 1, B with doc 2.
+    # duplicate_spans chimera-merges doc 3's coverage into one span;
+    # attribution SPLITS it at the partner change.
+    a = "a1 a2 a3 a4"
+    b = "b1 b2 b3 b4"
+    df = _docs(
+        spark,
+        [
+            (1, f"x1 {a} x2"),
+            (2, f"y1 {b} y2"),
+            (3, f"{a} {b}"),
+        ],
+    )
+    assert _spans(df, k=4)[2:] == [(3, 0, 8)]
+    assert _attr(df, k=4) == [
+        (1, 3, 1, 5, 4),
+        (2, 3, 1, 5, 4),
+        (3, 1, 0, 4, 4),
+        (3, 2, 4, 8, 4),
+    ]
+
+
+def test_attribution_plan_no_udf_no_join(spark):
+    from imgdupes_spark.operators.spans import attribute_duplicate_spans
+
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c d")])
+    plan = (
+        attribute_duplicate_spans(df, k=4, content_col="text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+    assert "Join" not in plan and "Cartesian" not in plan
+    # one gram explode feeds both chained gram-hash windows
+    assert plan.count("Generate") == 1
+
+
 def test_corpus_freq_profile_values(spark):
     from imgdupes_spark.functions.text import corpus_freq_profile
 
