@@ -44,6 +44,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _split_thresh(cum_frac: float) -> str:
+    """Same 48-bit hex threshold literal as the engine (sampling.py) —
+    imported so both twins share one arithmetic."""
+    from imgdupes_spark.operators.sampling import _threshold_hex
+
+    return _threshold_hex(cum_frac)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -588,6 +596,30 @@ def _q_strip_dup_spans(spark, sf_dir):
     )
 
 
+def _q_corpus_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators/sampling.py
+    assign_split): split = CASE over 48-bit sha256 hex-prefix key ranges —
+    per-row, zero-shuffle, stable under corpus growth, and engine-portable
+    (the oracle replays the exact same sha256 arithmetic, unlike any
+    rand(seed) scheme). 98/1/1 at sf0.01 exercises all three ranges."""
+    from imgdupes_spark.operators.sampling import assign_split
+
+    d = _docs(_prep(spark), sf_dir)
+    return assign_split(d).select("doc_id", "split")
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Exact-count stratified sampling (operators/sampling.py
+    stratified_sample): ceil(f * n) docs per lang stratum in hash-key
+    order, quota in integer arithmetic at 1e-6 granularity (a float
+    ceil(n*f) is one off whenever n*f lands on an ulp and can diverge
+    between engines). 3.14% of every language, id-tie-broken."""
+    from imgdupes_spark.operators.sampling import stratified_sample
+
+    d = _docs(_prep(spark), sf_dir)
+    return stratified_sample(d, "lang", 0.0314).select("doc_id", "lang")
+
+
 def _q_corpus_rarity(spark, sf_dir):
     """Corpus-relative token-rarity profile (functions/text.py
     corpus_freq_profile): the integer-exact stand-in for an LM-perplexity
@@ -1088,6 +1120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": _q_strip_boilerplate,
         "duplicate_spans": _q_duplicate_spans,
         "span_attribution": _q_span_attribution,
+        "corpus_split": _q_corpus_split,
+        "stratified_sample": _q_stratified_sample,
         "dup_span_stats": _q_dup_span_stats,
         "corpus_rarity": _q_corpus_rarity,
         "url_profile": _q_url_profile,
@@ -1647,6 +1681,33 @@ def _static_oracle_sql() -> dict[str, str]:
               CAST(max(pos) + 8 AS BIGINT) AS span_end,
               CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
             FROM isl GROUP BY doc_id, island
+        """,
+        "corpus_split": f"""
+            SELECT doc_id,
+              CASE
+                WHEN substring(sha256(CAST(doc_id AS VARCHAR) || ':split:v1'), 1, 12)
+                     < '{_split_thresh(0.98)}' THEN 'train'
+                WHEN substring(sha256(CAST(doc_id AS VARCHAR) || ':split:v1'), 1, 12)
+                     < '{_split_thresh(0.99)}' THEN 'val'
+                ELSE 'test' END AS split
+            FROM documents
+        """,
+        "stratified_sample": """
+            WITH k AS (
+              SELECT doc_id, lang,
+                substring(sha256(CAST(doc_id AS VARCHAR) || ':sample:v1'),
+                          1, 12) AS key
+              FROM documents),
+            r AS (
+              SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang ORDER BY key, doc_id)
+                  AS rk
+              FROM k),
+            q AS (
+              SELECT lang, (count(*) * 31400 + 999999) // 1000000 AS quota
+              FROM documents GROUP BY lang)
+            SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+            WHERE rk <= quota
         """,
         "span_attribution": """
             WITH p AS (

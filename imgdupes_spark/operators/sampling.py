@@ -1,0 +1,156 @@
+"""Deterministic corpus splitting and sampling — the train/val/test
+assignment and subsampling stage every training-data pipeline runs after
+curation, built so the assignment is a pure per-row function of the
+document identity:
+
+  split(doc) = f(sha256(id || ':' || salt))
+
+No shuffle, no global count, no RNG state. The properties that matter at
+100 TB all fall out of per-row determinism:
+
+  * **stable under growth** — adding documents never flips an existing
+    document's split (a fraction-based `randomSplit` reshuffles everyone);
+  * **reproducible across runs/engines** — sha256 of the same string is
+    the same everywhere, so the DuckDB oracle replays assignments exactly
+    (no engine-specific `rand(seed)` semantics to match);
+  * **leak-auditable** — membership is checkable per row without the rest
+    of the corpus.
+
+Mechanics: the first 12 hex chars of the sha256 digest are a uniform
+48-bit key; since lowercase-hex ordering IS numeric ordering, fraction
+boundaries become precomputed hex-string thresholds and the assignment is
+one CASE over string compares — whole-stage codegen, zero exchanges.
+48 bits ⇒ fraction granularity 2^-48, far below any corpus's 1/n.
+
+`stratified_sample` is the exact-count variant (per-stratum quota filled
+in hash order): one window rank per stratum + one broadcast-joined count,
+for when "1% of EVERY language" must hold exactly rather than in
+expectation.
+
+Reference parity note: the reference (knjcode/imgdupes) has no sampling
+machinery; this is part of the beyond-reference LLM-pipeline surface
+(SURVEY.md §2.7), alongside curation and decontamination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 12  # 48-bit key from the sha256 hex prefix
+
+
+def _threshold_hex(cum_frac: float) -> str:
+    """Hex-string threshold t such that P(key < t) == cum_frac at 48-bit
+    granularity. cum_frac >= 1 maps past every key ('g' > 'f')."""
+    if cum_frac >= 1.0:
+        return "g"
+    return format(int(cum_frac * (16 ** _HEX_DIGITS)), f"0{_HEX_DIGITS}x")
+
+
+def split_key_col(id_col: F.Column, salt: str) -> F.Column:
+    """The 48-bit uniform key: first 12 hex chars of
+    sha256(cast(id as string) || ':' || salt). Lowercase hex, so string
+    order == numeric order in both Spark and DuckDB."""
+    return F.substring(
+        F.sha2(F.concat(id_col.cast("string"), F.lit(":" + salt)), 256),
+        1,
+        _HEX_DIGITS,
+    )
+
+
+def split_col(
+    id_col: F.Column,
+    fractions: dict[str, float],
+    salt: str = "split:v1",
+) -> F.Column:
+    """Split-label Column: deterministic CASE over hash-key ranges, in the
+    given dict order (insertion order = range order). Fractions must sum
+    to 1 (+-1e-9); each label owns [cum_prev, cum) of the key space."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    key = split_key_col(id_col, salt)
+    expr = None
+    cum = 0.0
+    labels = list(fractions.items())
+    for name, frac in labels[:-1]:
+        cum += frac
+        cond = key < F.lit(_threshold_hex(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = labels[-1][0]
+    return (expr.otherwise(last) if expr is not None else F.lit(last)).alias(
+        "split"
+    )
+
+
+def assign_split(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split:v1",
+) -> DataFrame:
+    """docs + a ``split`` column. Default 98/1/1 train/val/test. Pure
+    projection — the plan has no exchange, no UDF; runs at scan speed."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    return docs.withColumn(
+        "split", split_col(F.col(id_col), fractions, salt)
+    )
+
+
+def deterministic_sample(
+    docs: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample:v1",
+) -> DataFrame:
+    """Keep ~fraction of docs by hash-key threshold. Per-row, zero
+    shuffle, and SUBSET-MONOTONE: sample(0.01) ⊆ sample(0.02) under the
+    same salt, and membership never changes as the corpus grows — the two
+    properties `df.sample()` cannot give you."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return docs.filter(
+        split_key_col(F.col(id_col), salt) < F.lit(_threshold_hex(fraction))
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample:v1",
+) -> DataFrame:
+    """EXACT-count stratified sample: ceil(fraction * n) rows from every
+    stratum, chosen in hash-key order (deterministic, id-tie-broken).
+    Costs one window sort per stratum plus one broadcast count join —
+    reach for :func:`deterministic_sample` unless the per-stratum count
+    must be exact. Stratum skew is bounded by the window's per-key sort;
+    a single giant stratum sorts within its partitions (Spark's window
+    spills), it does not collapse onto one task's memory like a
+    collect-based quota would.
+
+    The quota is INTEGER arithmetic at 1e-6 fraction granularity:
+    ceil(n * round(f*1e6) / 1e6) as (n*num + den - 1) div den — a float
+    ceil(n * f) puts the count one off whenever n*f lands on an ulp
+    (100 * 0.07 = 7.000000000000001 → ceil 8), and diverges between
+    engines; longs never do. n*num stays under 2^63 through stratum
+    sizes of ~9e12."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    num, den = round(fraction * 1_000_000), 1_000_000
+    key = split_key_col(F.col(id_col), salt).alias("__key")
+    w = Window.partitionBy(stratum_col).orderBy("__key", id_col)
+    # `div` is Spark's integer division — `/` on longs returns DOUBLE and
+    # loses exactness past 2^53
+    quota = docs.groupBy(stratum_col).agg(
+        F.expr(f"(count(1) * {num} + {den - 1}) div {den}").alias("__quota")
+    )
+    return (
+        docs.select("*", key)
+        .withColumn("__rk", F.row_number().over(w))
+        .join(F.broadcast(quota), stratum_col)
+        .filter(F.col("__rk") <= F.col("__quota"))
+        .drop("__key", "__rk", "__quota")
+    )

@@ -1,0 +1,96 @@
+"""Deterministic split/sample semantics (operators/sampling.py): the
+properties randomSplit/sample cannot give — stability under corpus
+growth, subset monotonicity, cross-run determinism — plus the exact
+stratified quota and the zero-exchange plan shape. Oracle parity at
+sf0.01 is pinned by test_entry_contract.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from imgdupes_spark.operators.sampling import (
+    assign_split,
+    deterministic_sample,
+    split_col,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+    )
+
+
+def test_split_deterministic_and_partition_invariant(spark):
+    d = _docs(spark)
+    a = {r.doc_id: r.split for r in assign_split(d).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in assign_split(d.repartition(13)).collect()
+    }
+    assert a == b
+    # fractions roughly honored at n=400 (98/1/1)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert c["train"] > 350 and c["train"] + c.get("val", 0) + c.get(
+        "test", 0
+    ) == 400
+
+
+def test_split_stable_under_corpus_growth(spark):
+    small = {r.doc_id: r.split for r in assign_split(_docs(spark, 200)).collect()}
+    big = {r.doc_id: r.split for r in assign_split(_docs(spark, 400)).collect()}
+    assert all(big[k] == v for k, v in small.items())
+
+
+def test_split_salt_changes_assignment(spark):
+    d = _docs(spark)
+    a = {r.doc_id: r.split for r in assign_split(d, salt="v1").collect()}
+    b = {r.doc_id: r.split for r in assign_split(d, salt="v2").collect()}
+    assert a != b  # overwhelmingly likely at n=400
+
+
+def test_split_fractions_validated(spark):
+    with pytest.raises(ValueError):
+        split_col(F.col("doc_id"), {"train": 0.5, "val": 0.4})
+
+
+def test_sample_subset_monotone_and_stable(spark):
+    d = _docs(spark)
+    s1 = {r.doc_id for r in deterministic_sample(d, 0.05).collect()}
+    s2 = {r.doc_id for r in deterministic_sample(d, 0.20).collect()}
+    assert s1 <= s2
+    assert len(s2) > len(s1)
+    # growth stability: membership of the first 200 ids is unchanged
+    grown = {
+        r.doc_id
+        for r in deterministic_sample(_docs(spark, 800), 0.20).collect()
+    }
+    assert {i for i in grown if i < 400} == s2
+
+
+def test_stratified_exact_quota_and_determinism(spark):
+    d = _docs(spark, 300)  # 100 per lang
+    out = stratified_sample(d, "lang", 0.07)
+    got = out.groupBy("lang").count().collect()
+    assert {r.lang: r["count"] for r in got} == {"0": 7, "1": 7, "2": 7}
+    again = stratified_sample(d, "lang", 0.07)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    assert "__key" not in out.columns and "__rk" not in out.columns
+
+
+def test_assign_split_plan_no_exchange_no_udf(spark):
+    plan = (
+        assign_split(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
