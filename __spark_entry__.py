@@ -295,6 +295,21 @@ def _q_knn_lsh(spark, sf_dir):
     return knn_lsh(e, probes, dim=64, k=5, n_bits=4, n_tables=16, multiprobe=1)
 
 
+def _q_knn_ivf(spark, sf_dir):
+    """IVF-flat ANN (operators/knn.py knn_ivf): Voronoi cells around
+    deterministic hash-sampled pivots, nprobe nearest cells scanned per
+    query. Unlike knn_lsh (whose tuned config reaches recall 1.0 so brute
+    force oracles it), the IVF twin replays the SAME cell computation in
+    SQL — pivots by sha key order, argmax assignment (cosine DESC, cell
+    ASC), probe ranking, verify tail — so the oracle checks the
+    approximate semantics themselves, not just the lucky-recall case."""
+    from imgdupes_spark.operators.knn import knn_ivf
+
+    e = _emb(_prep(spark), sf_dir)
+    probes = e.filter(F.col("vec_id") % 100 == 0)
+    return knn_ivf(e, probes, n_cells=16, nprobe=2, k=5)
+
+
 def _q_embedding_dedup(spark, sf_dir):
     """Embedding-modality near-dup dedup: planted variants (v + 0.05 per
     component, cosine ~0.92-0.95 to their base; natural pairs max ~0.51) must
@@ -1109,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_members": _q_near_dup_members,
         "containment_pairs_engine": _q_containment_pairs_engine,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "embedding_dedup": _q_embedding_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "doc_merkle": _q_doc_merkle,
@@ -1320,6 +1336,56 @@ def _static_oracle_sql() -> dict[str, str]:
         # data) and reaches recall 1.0 at this scale -> the exact top-k SQL
         # is its oracle; any dropped neighbor fails the hash.
         "knn_lsh": _KNN_SQL,
+        "knn_ivf": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            kv AS (
+              SELECT vec_id, e,
+                substring(sha256(CAST(vec_id AS VARCHAR) || ':ivf:v1'),
+                          1, 12) AS key
+              FROM v),
+            piv AS (
+              SELECT vec_id AS cell_id, e AS c FROM kv
+              ORDER BY key, vec_id LIMIT 16),
+            asg AS (
+              SELECT vec_id, cell_id FROM (
+                SELECT kv.vec_id, piv.cell_id,
+                  row_number() OVER (PARTITION BY kv.vec_id
+                    ORDER BY round(list_dot_product(kv.e, piv.c)
+                        / (sqrt(list_dot_product(kv.e, kv.e))
+                           * sqrt(list_dot_product(piv.c, piv.c))), 6) DESC,
+                      piv.cell_id ASC) AS rn
+                FROM kv, piv)
+              WHERE rn = 1),
+            p AS (SELECT vec_id AS query_id, e AS q FROM v
+                  WHERE vec_id % 100 = 0),
+            qc AS (
+              SELECT query_id, cell_id FROM (
+                SELECT p.query_id, piv.cell_id,
+                  row_number() OVER (PARTITION BY p.query_id
+                    ORDER BY round(list_dot_product(p.q, piv.c)
+                        / (sqrt(list_dot_product(p.q, p.q))
+                           * sqrt(list_dot_product(piv.c, piv.c))), 6) DESC,
+                      piv.cell_id ASC) AS rn
+                FROM p, piv)
+              WHERE rn <= 2),
+            s AS (
+              SELECT p.query_id, v.vec_id AS neighbor_id,
+                round(list_dot_product(p.q, v.e)
+                      / (sqrt(list_dot_product(p.q, p.q))
+                         * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
+              FROM qc
+              JOIN asg USING (cell_id)
+              JOIN v ON v.vec_id = asg.vec_id
+              JOIN p ON p.query_id = qc.query_id
+              WHERE v.vec_id <> p.query_id)
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(rank AS INTEGER) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                  FROM s)
+            WHERE rank <= 5
+        """,
         "containment_pairs_engine": """
             SELECT least(a.doc_id, b.doc_id) AS src,
                    greatest(a.doc_id, b.doc_id) AS dst

@@ -296,6 +296,98 @@ def knn_lsh_indexed(
     return _bucket_join_topk(corpus, probe, k)
 
 
+def knn_ivf(
+    vectors: DataFrame,
+    probes: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "ivf:v1",
+) -> DataFrame:
+    """IVF-flat approximate top-k: the inverted-file coarse quantizer
+    (Sivic & Zisserman 2003; the faiss IndexIVFFlat layout) as DataFrame
+    ops — corpus vectors are Voronoi-assigned to ``n_cells`` pivot
+    centroids, a query scans only its ``nprobe`` nearest cells, exact
+    cosine + top-k inside. The scale complement to the RP-bucket path
+    (knn_lsh): cells adapt to the data's density instead of fixed random
+    hyperplanes, candidate volume is ~n * nprobe / n_cells by
+    construction, and the cell table is the natural partition column for
+    a persisted index (the build_rp_index pattern applies verbatim).
+
+    Pivots are the ``n_cells`` corpus vectors with the smallest
+    sha256-hash keys (the sampling.py device; deterministic, uniform,
+    engine-replayable) — i.e. IVF with a sampled init and zero Lloyd
+    iterations. k-means refinement would tighten cells but its
+    float-accumulation order is not portably reproducible, so it's left
+    as an offline option; the query plan is identical either way.
+
+    Assignment is one broadcast join against the pivot table plus a
+    map-side argmax (max of (cosine, ~cell_id) structs — the bitwise NOT
+    makes min-id the tiebreak with no negation overflow), so the only
+    shuffled relation is n small (id, cell) rows. Probing reuses the
+    broadcast: candidates = cells' members, each (query, neighbor) pair
+    appears at most once because assignment is unique. ``nprobe =
+    n_cells`` degenerates to exact brute force (every cell scanned) —
+    pinned as a test invariant. Recall < 1 otherwise, bounded by how
+    often a true neighbor's cell escapes the query's nprobe set.
+
+    Returns (query_id, neighbor_id, cosine, rank), same contract as
+    knn_bruteforce/knn_lsh."""
+    v_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    corpus = vectors.select(F.col(id_col).alias("neighbor_id"), v_d.alias("v"))
+    from imgdupes_spark.operators.sampling import split_key_col
+
+    pivots = (
+        corpus.select(
+            F.col("neighbor_id").alias("cell_id"),
+            F.col("v").alias("c"),
+            split_key_col(F.col("neighbor_id"), salt).alias("__key"),
+        )
+        .orderBy("__key", "cell_id")
+        .limit(n_cells)
+        .drop("__key")
+    )
+    best = F.max(
+        F.struct(
+            F.round(_cosine(F.col("v"), F.col("c")), 6).alias("cos"),
+            F.bitwise_not(F.col("cell_id")).alias("nc"),
+        )
+    )
+    assigned = (
+        corpus.join(F.broadcast(pivots))
+        .groupBy("neighbor_id")
+        .agg(F.bitwise_not(best.getField("nc")).alias("cell_id"))
+    )
+    cells = corpus.join(assigned, "neighbor_id")
+    probe = probes.select(F.col(id_col).alias("query_id"), v_d.alias("q"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos"), F.asc("cell_id")
+    )
+    qcells = (
+        probe.join(F.broadcast(pivots))
+        .withColumn("qcos", F.round(_cosine(F.col("q"), F.col("c")), 6))
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "q", "cell_id")
+    )
+    cand = cells.join(F.broadcast(qcells), "cell_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(_cosine(F.col("q"), F.col("v")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_dedup(
     vectors: DataFrame,
     dim: int,

@@ -83,6 +83,7 @@ def duplicate_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     content_col: str = "content",
+    precollapse_exact: bool = False,
 ) -> DataFrame:
     """One row per maximal duplicated token span:
     ``(id_col, span_start, span_end, span_tokens)`` with token positions
@@ -95,7 +96,24 @@ def duplicate_spans(
     corpus-wide grouping runs on 8-byte hashes, never gram text (a 64-bit
     collision could merge two unrelated grams; at web scale use the same
     acceptance math as the LSH band keys, documented in operators/lsh.py).
-    """
+
+    ``precollapse_exact=True`` collapses byte-identical documents (sha256
+    groups) to one representative BEFORE the gram explode and re-expands
+    spans to members afterwards — exact-dup-heavy corpora (mirrored web
+    pages, vendored files) tokenize and shuffle each distinct content
+    once instead of once per copy. Semantics are preserved exactly: a
+    representative with group size >= 2 is hot on EVERY gram (its twins
+    share them all), so whole-doc spans for exact-dup families fall out
+    of the same window machinery — hotness just widens to
+    ``min(rep) != max(rep) OR max(group_size) >= 2`` — and re-expansion
+    is one membership join on the rep id. min_docs=2 only (the generic
+    threshold would need a distinct-rep weighted sum; not built until a
+    corpus needs it). Measured A/B in BASELINE.md (round 6): the win
+    tracks the exact-dup fraction; default off."""
+    if precollapse_exact:
+        if min_docs != 2:
+            raise ValueError("precollapse_exact supports min_docs=2 only")
+        return _duplicate_spans_precollapsed(docs, k, id_col, content_col)
     grams = docs.select(
         F.col(id_col).alias("__doc"),
         F.posexplode(positional_gram_hashes(F.col(content_col), k)).alias(
@@ -156,6 +174,81 @@ def duplicate_spans(
         )
         .select(
             F.col("__doc").alias(id_col),
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+            (F.col("span_end") - F.col("span_start"))
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )
+
+
+def _duplicate_spans_precollapsed(
+    docs: DataFrame,
+    k: int,
+    id_col: str,
+    content_col: str,
+) -> DataFrame:
+    """min_docs=2 span detection over sha256-collapsed representatives;
+    see :func:`duplicate_spans`. Gram rows carry the group size so the
+    hotness window can count a rep's own exact twins."""
+    keyed = docs.select(
+        F.col(id_col).alias("__m"),
+        F.sha2(F.col(content_col), 256).alias("__sha"),
+        F.col(content_col).alias("__content"),
+    )
+    reps = keyed.groupBy("__sha").agg(
+        F.min("__m").alias("__doc"),
+        F.count("*").alias("__gsz"),
+        F.min_by("__content", "__m").alias("__content"),
+    )
+    grams = reps.select(
+        "__doc",
+        "__gsz",
+        F.posexplode(positional_gram_hashes(F.col("__content"), k)).alias(
+            "__pos", "__gh"
+        ),
+    )
+    wg = Window.partitionBy("__gh")
+    hits = (
+        grams.select(
+            "__doc",
+            "__pos",
+            (
+                (F.min("__doc").over(wg) != F.max("__doc").over(wg))
+                | (F.max("__gsz").over(wg) >= 2)
+            ).alias("__hot"),
+        )
+        .filter("__hot")
+        .select("__doc", "__pos")
+    )
+    w = Window.partitionBy("__doc").orderBy("__pos")
+    prev_end = F.max(F.col("__pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.select(
+        "__doc",
+        "__pos",
+        F.sum(
+            (F.col("__pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+        )
+        .over(w)
+        .alias("__isl"),
+    )
+    rep_spans = islands.groupBy("__doc", "__isl").agg(
+        F.min("__pos").alias("span_start"),
+        (F.max("__pos") + k).alias("span_end"),
+    )
+    # member -> rep mapping via a sha window (no second aggregate subtree;
+    # same min-id rule as reps)
+    membership = keyed.select(
+        "__m",
+        F.min("__m").over(Window.partitionBy("__sha")).alias("__doc"),
+    )
+    return (
+        rep_spans.join(membership, "__doc")
+        .select(
+            F.col("__m").alias(id_col),
             F.col("span_start").cast("long"),
             F.col("span_end").cast("long"),
             (F.col("span_end") - F.col("span_start"))

@@ -1,0 +1,95 @@
+"""A/B: duplicate_spans default path vs precollapse_exact=True across an
+exact-dup-fraction grid — the spans sibling of the (negative) fingerprint
+pre-collapse spike (BASELINE.md r5/r6). Hypothesis: spans explode one row
+per TOKEN (not one fingerprint per doc), so collapsing byte-identical
+docs before the explode saves work proportional to the dup fraction and
+should win where the fingerprint version lost.
+
+Grid: the bench corpus's natural ~9% twins, +50% twins (every base doc
+copied once), and a mirrored-hot config (3 extra copies of 1 in 4 docs).
+Min-of-k alternating legs; span-count equality asserted per config.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from imgdupes_spark.corpus import synthetic_corpus_spark
+from imgdupes_spark.operators.spans import duplicate_spans
+from imgdupes_spark.session import get_spark
+
+
+def _with_extra_twins(base, every: int, copies: int):
+    out = base
+    for c in range(copies):
+        out = out.unionByName(
+            base.filter(F.col("doc_id") % every == 0).select(
+                (F.col("doc_id") + 2_000_000 * (c + 1)).alias("doc_id"),
+                "content",
+            )
+        )
+    return out
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n = int(os.environ.get("SPARK_GRAFT_SPANS_N", "100000"))
+    k = int(os.environ.get("SPARK_GRAFT_SPANS_REPEATS", "2"))
+    spark = get_spark(master=f"local[{cpus}]", app_name="spans_precollapse")
+    base = synthetic_corpus_spark(spark, n).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
+    )
+    configs = [
+        ("natural", base),
+        ("plus50pct", _with_extra_twins(base, 1, 1)),
+        ("mirror3x", _with_extra_twins(base, 4, 3)),
+    ]
+    rows = []
+    for name, corpus in configs:
+        corpus = corpus.persist()
+        n_docs = corpus.count()
+        legs = {"default": [], "precollapse": []}
+        counts = {}
+        for _ in range(k):
+            for mode, flag in (("default", False), ("precollapse", True)):
+                t0 = time.time()
+                counts[mode] = duplicate_spans(
+                    corpus, k=8, precollapse_exact=flag
+                ).count()
+                legs[mode].append(round(time.time() - t0, 2))
+        corpus.unpersist()
+        assert counts["default"] == counts["precollapse"], counts
+        b_def, b_pre = min(legs["default"]), min(legs["precollapse"])
+        rows.append(
+            {
+                "config": name,
+                "n_docs": int(n_docs),
+                "n_spans": int(counts["default"]),
+                "default_legs": legs["default"],
+                "precollapse_legs": legs["precollapse"],
+                "speedup": round(b_def / b_pre, 2),
+            }
+        )
+        print(
+            f"# {name}: {n_docs} docs, default {b_def}s vs precollapse "
+            f"{b_pre}s -> {rows[-1]['speedup']}x",
+            file=sys.stderr,
+        )
+    print(
+        json.dumps(
+            {"metric": "spans_precollapse_ab", "unit": "sec", "cpus": cpus,
+             "rows": rows}
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -37,6 +37,54 @@ def test_knn_lsh_recall_vs_bruteforce(spark):
     assert all(q != n for q, n in approx)
 
 
+def test_knn_ivf_full_probe_equals_bruteforce(spark):
+    """nprobe = n_cells scans every Voronoi cell, so IVF must degenerate
+    to EXACT brute force row-for-row — the invariant that pins the whole
+    cell machinery (assignment, probe ranking, verify tail) without any
+    recall tolerance."""
+    from imgdupes_spark.operators.knn import knn_ivf
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = sorted(
+        map(tuple, knn_bruteforce(emb, probes, k=4).collect())
+    )
+    full = sorted(
+        map(
+            tuple,
+            knn_ivf(emb, probes, n_cells=8, nprobe=8, k=4).collect(),
+        )
+    )
+    assert full == exact
+
+
+def test_knn_ivf_partial_probe_recall_on_clustered(spark):
+    """On clustered embeddings (the realistic case) nprobe=2 of 8 cells
+    must keep high recall while the candidate set stays a fraction of the
+    corpus; results must be deterministic across runs."""
+    import numpy as np
+
+    from imgdupes_spark.operators.knn import knn_ivf
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 32)) * 4.0
+    rows = []
+    for i in range(240):
+        c = centers[i % 8]
+        rows.append((i, [float(x) for x in c + rng.standard_normal(32) * 0.05]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.filter(F.col("vec_id") < 4)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(emb, probes, k=5).collect()
+    }
+    got = knn_ivf(emb, probes, n_cells=12, nprobe=3, k=5)
+    approx = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    assert len(exact & approx) / len(exact) >= 0.8
+    again = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    assert approx == again
+
+
 def test_knn_multiprobe_prunes_on_clustered_embeddings(spark):
     """On STRUCTURED embeddings (planted clusters — the realistic case; the
     parquet testdata is uniform random, the adversarial one) multi-probe LSH

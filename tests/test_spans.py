@@ -164,6 +164,38 @@ def test_plan_no_udf_no_cartesian(spark):
     assert generic.count("Generate") == 2
 
 
+def test_precollapse_exact_semantics_preserved(spark):
+    # exact twins (docs 1/2/6), a shared passage across distinct contents
+    # (3 vs 4), within-doc repetition (5), sub-k (7), and a unique doc —
+    # the pre-collapsed path must return row-for-row identical spans,
+    # including whole-doc spans for every member of the exact-dup family.
+    shared = "p1 p2 p3 p4 p5"
+    rows = [
+        (1, "t1 t2 t3 t4 t5 t6"),
+        (2, "t1 t2 t3 t4 t5 t6"),
+        (6, "t1 t2 t3 t4 t5 t6"),
+        (3, f"{shared} alpha beta"),
+        (4, f"gamma {shared} delta"),
+        (5, "r1 r2 r3 r4 x r1 r2 r3 r4"),
+        (7, "a b"),
+        (8, "lonely unique content never repeated"),
+    ]
+    df = _docs(spark, rows)
+    base = _spans(df, k=4)
+    fast = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(
+            df, k=4, content_col="text", precollapse_exact=True
+        ).collect()
+    )
+    assert fast == base
+    assert (1, 0, 6) in base and (6, 0, 6) in base  # whole-doc twins
+    with pytest.raises(ValueError):
+        duplicate_spans(
+            df, k=4, min_docs=3, content_col="text", precollapse_exact=True
+        )
+
+
 def _attr(df, **kw):
     from imgdupes_spark.operators.spans import attribute_duplicate_spans
 
