@@ -635,6 +635,25 @@ def _q_stratified_sample(spark, sf_dir):
     return stratified_sample(d, "lang", 0.0314).select("doc_id", "lang")
 
 
+def _q_token_shards(spark, sf_dir):
+    """Token-budget shard assignment (operators/sampling.py
+    shard_by_tokens): docs laid out in hash-key order, shard = global
+    start offset div budget, where the global running total is a
+    DISTRIBUTED prefix sum (bucketed offsets + per-bucket window — no
+    single-partition sort, plan-asserted in tests). The oracle replays it
+    as one serial window cumsum, which is exactly what the bucketed
+    decomposition must equal."""
+    from imgdupes_spark.functions.text import token_count_col
+    from imgdupes_spark.operators.sampling import shard_by_tokens
+
+    d = _docs(_prep(spark), sf_dir).select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    return shard_by_tokens(d, tokens_per_shard=2000).select(
+        "doc_id", "n_tokens", "start_offset", "shard_id"
+    )
+
+
 def _q_corpus_rarity(spark, sf_dir):
     """Corpus-relative token-rarity profile (functions/text.py
     corpus_freq_profile): the integer-exact stand-in for an LM-perplexity
@@ -1138,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_attribution": _q_span_attribution,
         "corpus_split": _q_corpus_split,
         "stratified_sample": _q_stratified_sample,
+        "token_shards": _q_token_shards,
         "dup_span_stats": _q_dup_span_stats,
         "corpus_rarity": _q_corpus_rarity,
         "url_profile": _q_url_profile,
@@ -1774,6 +1794,25 @@ def _static_oracle_sql() -> dict[str, str]:
               FROM documents GROUP BY lang)
             SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
             WHERE rk <= quota
+        """,
+        "token_shards": """
+            WITH tkn AS (
+              SELECT doc_id,
+                CAST(len(list_filter(string_split_regex(lower(text),
+                    '[^0-9a-z]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+                substring(sha256(CAST(doc_id AS VARCHAR) || ':shard:v1'),
+                          1, 12) AS key
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                coalesce(sum(n_tokens) OVER (ORDER BY key, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS start_offset
+              FROM tkn)
+            SELECT doc_id, n_tokens,
+              CAST(start_offset AS BIGINT) AS start_offset,
+              CAST(start_offset // 2000 AS BIGINT) AS shard_id
+            FROM c
         """,
         "span_attribution": """
             WITH p AS (

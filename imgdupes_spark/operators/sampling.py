@@ -115,6 +115,76 @@ def deterministic_sample(
     )
 
 
+def shard_by_tokens(
+    docs: DataFrame,
+    tokens_per_shard: int,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    salt: str = "shard:v1",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget output shards — the
+    "write ~1B tokens per training file" step after curation. Documents
+    are laid out in deterministic hash-key order (uniform, growth-
+    independent — a doc-id or path order would put one repo in one
+    shard) and shard i owns the docs whose cumulative START offset falls
+    in [i*T, (i+1)*T), so every shard carries tokens_per_shard ± one
+    document.
+
+    The global running total is a DISTRIBUTED prefix sum, not a global
+    window: docs bucket by the first hex digits of their hash key
+    (``n_buckets`` ordered ranges), per-bucket token sums — n_buckets
+    rows — come back to the driver for a cumulative offset table that
+    broadcast-joins onto the docs, and the within-bucket running total
+    is a window partitioned BY BUCKET. No single-partition sort
+    anywhere: the plan's one wide exchange is the bucket window, each
+    sorting ~1/n_buckets of the corpus (plan-asserted in tests). The
+    offset collect is n_buckets scalars — constant, not O(corpus).
+
+    Returns the input plus ``shard_id`` (0-based) and ``start_offset``
+    (the doc's first token's global position — the provenance column
+    that makes any shard independently re-derivable)."""
+    if tokens_per_shard <= 0:
+        raise ValueError(f"tokens_per_shard must be > 0, got {tokens_per_shard}")
+    hex_digits = {16: 1, 256: 2, 4096: 3}.get(n_buckets)
+    if hex_digits is None:
+        raise ValueError(f"n_buckets must be 16, 256 or 4096, got {n_buckets}")
+    key = split_key_col(F.col(id_col), salt)
+    keyed = docs.select(
+        "*",
+        key.alias("__key"),
+        F.substring(key, 1, hex_digits).alias("__bkt"),
+    )
+    # n_buckets rows: exclusive prefix offsets per bucket, in bucket order
+    sums = {
+        r["__bkt"]: r["s"]
+        for r in keyed.groupBy("__bkt")
+        .agg(F.sum(n_tokens_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(sums):
+        offsets.append((b, acc))
+        acc += int(sums[b] or 0)
+    spark = docs.sparkSession
+    off = spark.createDataFrame(offsets, "__bkt string, __off long")
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy("__key", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_prev = F.coalesce(F.sum(n_tokens_col).over(w), F.lit(0))
+    return (
+        keyed.join(F.broadcast(off), "__bkt")
+        .withColumn("start_offset", (F.col("__off") + local_prev).cast("long"))
+        .withColumn(
+            "shard_id",
+            F.expr(f"start_offset div {int(tokens_per_shard)}").cast("long"),
+        )
+        .drop("__key", "__bkt", "__off")
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     stratum_col: str,

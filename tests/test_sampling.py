@@ -85,6 +85,65 @@ def test_stratified_exact_quota_and_determinism(spark):
     assert "__key" not in out.columns and "__rk" not in out.columns
 
 
+def test_shard_by_tokens_matches_serial_prefix_sum(spark):
+    # the distributed (bucketed) prefix sum must equal the serial one: lay
+    # the docs out in sha-key order in plain Python and compare offsets.
+    import hashlib
+
+    from imgdupes_spark.operators.sampling import shard_by_tokens
+
+    rows = [(i, 10 + (i * 7) % 50) for i in range(300)]
+    d = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {
+        r.doc_id: (r.start_offset, r.shard_id)
+        for r in shard_by_tokens(d, tokens_per_shard=500).collect()
+    }
+    order = sorted(
+        rows,
+        key=lambda r: (
+            hashlib.sha256(f"{r[0]}:shard:v1".encode()).hexdigest()[:12],
+            r[0],
+        ),
+    )
+    acc = 0
+    for doc_id, n in order:
+        assert out[doc_id] == (acc, acc // 500), doc_id
+        acc += n
+    # shard fill: every shard except the last is filled to the budget
+    # +- one document (34-59 tokens above/below never occurs by design)
+    from collections import defaultdict
+
+    fill = defaultdict(int)
+    for doc_id, n in rows:
+        fill[out[doc_id][1]] += n
+    last = max(fill)
+    assert all(450 <= v < 560 for s, v in fill.items() if s != last), fill
+
+
+def test_shard_by_tokens_partition_invariant_and_no_global_sort(spark):
+    from imgdupes_spark.operators.sampling import shard_by_tokens
+
+    d = spark.createDataFrame(
+        [(i, 20) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    a = {r.doc_id: r.shard_id for r in shard_by_tokens(d, 400).collect()}
+    b = {
+        r.doc_id: r.shard_id
+        for r in shard_by_tokens(d.repartition(17), 400).collect()
+    }
+    assert a == b
+    plan = (
+        shard_by_tokens(d, 400)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the running total must come from the BUCKET-partitioned window, not
+    # a single-partition global sort
+    assert "SinglePartition" not in plan
+    assert "Python" not in plan
+
+
 def test_assign_split_plan_no_exchange_no_udf(spark):
     plan = (
         assign_split(_docs(spark))
