@@ -71,13 +71,15 @@ class DedupePipeline:
         # signatures is keyed by config alone (it resumes incrementally);
         # downstream dedup stages are additionally keyed by a fingerprint of
         # the signatures *data*, so a changed corpus invalidates them the
-        # same way a changed config does. Curation stage names already embed
-        # their own corpus/bench/knob fingerprints (run_curation), so their
-        # path must NOT also depend on whether run() populated data_fp —
-        # call order would otherwise change the checkpoint location.
+        # same way a changed config does. Curation and assembly stage names
+        # already embed their own corpus/bench/knob fingerprints
+        # (run_curation/run_assembly), so their path must NOT also depend
+        # on whether run() populated data_fp — call order would otherwise
+        # change the checkpoint location.
         if (
             stage == "signatures"
             or stage.startswith("curation")
+            or stage.startswith("assembly")
             or self.data_fp is None
         ):
             return os.path.join(self.workdir, f"{stage}_{self.fp}")
@@ -354,6 +356,86 @@ class DedupePipeline:
                 ).drop("n_tokens")  # token_count already in the profile
                 out = out.join(spans, "__cid")
             return out.drop("__cid")
+
+        return self._stage(stage, compute, resume)
+
+    def run_assembly(
+        self,
+        corpus: DataFrame,
+        fractions: dict[str, float] | None = None,
+        tokens_per_shard: int | None = None,
+        resume: bool = True,
+        salt: str = "split:v1",
+    ) -> DataFrame:
+        """Checkpointed dataset-ASSEMBLY stage — the step after dedup +
+        curation that turns the kept corpus into training inputs:
+        deterministic train/val/test labels (operators/sampling.py
+        assign_split — a pure function of the document identity, so
+        growth-stable and reproducible across runs and engines) and, when
+        ``tokens_per_shard`` is set, token-budget shard assignment WITHIN
+        each split (shard_by_tokens' bucketed distributed prefix sum, run
+        once per split so every split's shards are independently
+        contiguous and filled to the budget ± one doc).
+
+        Split identity hashes the natural (repo, path, commit) key, not
+        the configured doc id, so the assignment is invariant to
+        doc_id_bits and survives an id-scheme migration. Content is
+        never persisted: the checkpoint holds identity columns +
+        n_tokens + split (+ start_offset, shard_id) — one column-pruned
+        scan computes the token counts, same discipline as run_curation.
+
+        The checkpoint key embeds the fractions, budget, salt, and a
+        corpus content fingerprint, so any knob or data change
+        invalidates it (and only it)."""
+        from imgdupes_spark.functions.text import token_count_col
+        from imgdupes_spark.operators.sampling import (
+            assign_split,
+            shard_by_tokens,
+        )
+
+        fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+        row = corpus.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64("repo", "path", "commit", "content")),
+                F.lit(0),
+            ).alias("h"),
+        ).collect()[0]
+        corpus_fp = f"{row.n}x{row.h & 0xFFFFFFFFFFFFFFFF:016x}"
+        frac_key = "_".join(
+            f"{name}{int(frac * 1_000_000)}" for name, frac in fractions.items()
+        )
+        stage = (
+            f"assembly-{frac_key}-t{tokens_per_shard or 0}"
+            f"-{salt.replace(':', '.')}-{corpus_fp}"
+        )
+
+        def compute() -> DataFrame:
+            slim = corpus.select(
+                "repo",
+                "path",
+                "commit",
+                token_count_col(F.col("content")).alias("n_tokens"),
+                F.concat_ws("\x1f", "repo", "path", "commit").alias("__ident"),
+            )
+            labeled = assign_split(
+                slim, fractions, id_col="__ident", salt=salt
+            )
+            if tokens_per_shard is None:
+                return labeled.drop("__ident")
+            parts = [
+                shard_by_tokens(
+                    labeled.filter(F.col("split") == name),
+                    tokens_per_shard,
+                    id_col="__ident",
+                    salt=salt,
+                )
+                for name in fractions
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out.drop("__ident")
 
         return self._stage(stage, compute, resume)
 

@@ -214,3 +214,58 @@ def test_concurrent_writer_overlap(spark, cfg, small_corpus, tmp_path):
     p3 = DedupePipeline(spark, cfg, wd)
     p3.run(small_corpus)
     assert p3.results["signatures"].rows == n_total
+
+
+def test_assembly_stage_split_shard_resume(spark, cfg, small_corpus, tmp_path):
+    """run_assembly: deterministic split + per-split token shards,
+    checkpointed with resume; content never lands in the checkpoint."""
+    wd = str(tmp_path / "wd_asm")
+    p = DedupePipeline(spark, cfg, wd)
+    out = p.run_assembly(
+        small_corpus,
+        fractions={"train": 0.8, "val": 0.2},
+        tokens_per_shard=200,
+    )
+    rows = out.collect()
+    stage = [n for n in p.results if n.startswith("assembly-")][0]
+    assert not p.results[stage].resumed
+    assert len(rows) == small_corpus.count()
+    assert set(out.columns) == {
+        "repo", "path", "commit", "n_tokens", "split",
+        "start_offset", "shard_id",
+    }  # no content column in the checkpoint
+    assert {r.split for r in rows} <= {"train", "val"}
+    # per-split shards: offsets restart per split, shard = offset div 200
+    for split in ("train", "val"):
+        part = sorted(
+            (r.start_offset, r.n_tokens, r.shard_id)
+            for r in rows if r.split == split
+        )
+        acc = 0
+        for off, n, shard in part:
+            assert off == acc and shard == acc // 200
+            acc += n
+
+    # resume: identical output, no recompute — even when a prior run()
+    # populated data_fp (assembly keys embed their own fingerprint, so the
+    # checkpoint path must not depend on call order)
+    p2 = DedupePipeline(spark, cfg, wd)
+    p2.data_fp = "0xcallorder"
+    out2 = p2.run_assembly(
+        small_corpus,
+        fractions={"train": 0.8, "val": 0.2},
+        tokens_per_shard=200,
+    )
+    assert p2.results[stage].resumed
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(out) == key(out2)
+
+    # knob change invalidates (different stage key, fresh compute)
+    p3 = DedupePipeline(spark, cfg, wd)
+    p3.run_assembly(
+        small_corpus,
+        fractions={"train": 0.8, "val": 0.2},
+        tokens_per_shard=100,
+    )
+    stage3 = [n for n in p3.results if n.startswith("assembly-")][0]
+    assert stage3 != stage and not p3.results[stage3].resumed
