@@ -635,6 +635,40 @@ def _q_stratified_sample(spark, sf_dir):
     return stratified_sample(d, "lang", 0.0314).select("doc_id", "lang")
 
 
+def _q_mixture_sample(spark, sf_dir):
+    """Domain-mixture reweighting (operators/sampling.py mixture_sample):
+    per-stratum fraction dict with exact integer quotas — 50% of src0,
+    25% of src1, 10% of src2, 5% default, over the documents source
+    column. Same hash-order selection as stratified_sample."""
+    from imgdupes_spark.operators.sampling import mixture_sample
+
+    d = _docs(_prep(spark), sf_dir)
+    return mixture_sample(
+        d, "source", {"src0": 0.5, "src1": 0.25, "src2": 0.1},
+        default_fraction=0.05,
+    ).select("doc_id", "source")
+
+
+def _q_split_leakage(spark, sf_dir):
+    """Split-leakage audit (operators/sampling.py split_leakage_report):
+    duplicate clusters straddling train/val/test boundaries — composed
+    from the repo's own surfaces (exact-dup members + assign_split). The
+    planted exact twins land in independent hash ranges from their
+    originals, so straddling clusters necessarily exist at sf0.01 and the
+    report is non-trivially exercised."""
+    from imgdupes_spark.operators.sampling import (
+        assign_split,
+        split_leakage_report,
+    )
+
+    d = _dup_docs(_prep(spark), sf_dir)
+    members = _members(d).select("doc_id", "cluster_id")
+    splits = assign_split(
+        d.select("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+    return split_leakage_report(members, splits)
+
+
 def _q_token_shards(spark, sf_dir):
     """Token-budget shard assignment (operators/sampling.py
     shard_by_tokens): docs laid out in hash-key order, shard = global
@@ -1158,6 +1192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": _q_corpus_split,
         "stratified_sample": _q_stratified_sample,
         "token_shards": _q_token_shards,
+        "mixture_sample": _q_mixture_sample,
+        "split_leakage": _q_split_leakage,
         "dup_span_stats": _q_dup_span_stats,
         "corpus_rarity": _q_corpus_rarity,
         "url_profile": _q_url_profile,
@@ -1794,6 +1830,59 @@ def _static_oracle_sql() -> dict[str, str]:
               FROM documents GROUP BY lang)
             SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
             WHERE rk <= quota
+        """,
+        "mixture_sample": """
+            WITH k AS (
+              SELECT doc_id, source,
+                substring(sha256(CAST(doc_id AS VARCHAR) || ':sample:v1'),
+                          1, 12) AS key
+              FROM documents),
+            r AS (
+              SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source ORDER BY key, doc_id)
+                  AS rk
+              FROM k),
+            q AS (
+              SELECT source,
+                (count(*) * (CASE source
+                    WHEN 'src0' THEN 500000
+                    WHEN 'src1' THEN 250000
+                    WHEN 'src2' THEN 100000
+                    ELSE 50000 END) + 999999) // 1000000 AS quota
+              FROM documents GROUP BY source)
+            SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+            WHERE rk <= quota
+        """,
+        "split_leakage": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 5 = 0),
+            m AS (
+              SELECT doc_id, min(doc_id) OVER (PARTITION BY text)
+                AS cluster_id
+              FROM corpus
+              QUALIFY count(*) OVER (PARTITION BY text) > 1),
+            s AS (
+              SELECT doc_id,
+                CASE
+                  WHEN substring(sha256(CAST(doc_id AS VARCHAR)
+                      || ':split:v1'), 1, 12) < '{_split_thresh(0.9)}'
+                    THEN 'train'
+                  WHEN substring(sha256(CAST(doc_id AS VARCHAR)
+                      || ':split:v1'), 1, 12) < '{_split_thresh(0.95)}'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+              FROM corpus)
+            SELECT cluster_id,
+              count(*) AS n_members,
+              CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+              array_to_string(list_sort(list(DISTINCT split)), ',')
+                AS splits
+            FROM m JOIN s USING (doc_id)
+            GROUP BY cluster_id
+            HAVING count(DISTINCT split) > 1
         """,
         "token_shards": """
             WITH tkn AS (

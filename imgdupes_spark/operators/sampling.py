@@ -115,6 +115,40 @@ def deterministic_sample(
     )
 
 
+def split_leakage_report(
+    members: DataFrame,
+    splits: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    label_col: str = "split",
+) -> DataFrame:
+    """Audit that no duplicate cluster straddles a split boundary — THE
+    reason pipelines dedup before splitting: a near-dup pair with one
+    member in train and one in test is benchmark leakage that survives
+    any per-doc filter. One row per offending cluster:
+    ``(cluster_col, n_members, n_splits, splits)`` with splits a
+    sorted comma-joined label list. Empty result = clean split.
+
+    Inputs compose the repo's own surfaces: ``members`` is any cluster
+    assignment (exact engine, LSH near-dup, embedding_dedup) and
+    ``splits`` is assign_split's output — the audit itself is one join
+    + one narrow groupBy on the cluster id, nothing bespoke."""
+    j = members.select(id_col, cluster_col).join(
+        splits.select(id_col, label_col), id_col
+    )
+    return (
+        j.groupBy(cluster_col)
+        .agg(
+            F.count("*").alias("n_members"),
+            F.countDistinct(label_col).alias("n_splits"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_set(label_col))
+            ).alias("splits"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+
+
 def shard_by_tokens(
     docs: DataFrame,
     tokens_per_shard: int,
@@ -207,15 +241,48 @@ def stratified_sample(
     (100 * 0.07 = 7.000000000000001 → ceil 8), and diverges between
     engines; longs never do. n*num stays under 2^63 through stratum
     sizes of ~9e12."""
-    if not 0.0 <= fraction <= 1.0:
-        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    num, den = round(fraction * 1_000_000), 1_000_000
-    key = split_key_col(F.col(id_col), salt).alias("__key")
-    w = Window.partitionBy(stratum_col).orderBy("__key", id_col)
+    return mixture_sample(
+        docs, stratum_col, {}, default_fraction=fraction,
+        id_col=id_col, salt=salt,
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "sample:v1",
+) -> DataFrame:
+    """Domain-MIXTURE sampling: a per-stratum fraction dict (the "50% of
+    src0, 25% of src1, 5% of everything else" reweighting every training
+    mix specifies), exact ceil(f_s * n_s) per stratum in hash-key order.
+    Strata absent from the dict get ``default_fraction`` (0 = drop).
+    Same integer quota arithmetic and window shape as
+    :func:`stratified_sample` (which is this with a constant dict);
+    the per-stratum fractions ride the broadcast quota join, so the
+    plan is identical whatever the dict size."""
+    for name, frac in {**fractions, "<default>": default_fraction}.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0, 1], got {frac}")
+    den = 1_000_000
+    default_num = round(default_fraction * den)
     # `div` is Spark's integer division — `/` on longs returns DOUBLE and
     # loses exactness past 2^53
-    quota = docs.groupBy(stratum_col).agg(
-        F.expr(f"(count(1) * {num} + {den - 1}) div {den}").alias("__quota")
+    num = F.lit(default_num)
+    for name, frac in fractions.items():
+        num = F.when(F.col(stratum_col) == name, round(frac * den)).otherwise(num)
+    key = split_key_col(F.col(id_col), salt).alias("__key")
+    w = Window.partitionBy(stratum_col).orderBy("__key", id_col)
+    quota = (
+        docs.groupBy(stratum_col)
+        .agg(F.count("*").alias("__n"))
+        .withColumn("__num", num)
+        .selectExpr(
+            f"`{stratum_col}`",
+            f"(__n * __num + {den - 1}) div {den} AS __quota",
+        )
     )
     return (
         docs.select("*", key)

@@ -85,6 +85,51 @@ def test_stratified_exact_quota_and_determinism(spark):
     assert "__key" not in out.columns and "__rk" not in out.columns
 
 
+def test_mixture_sample_per_stratum_quotas(spark):
+    from imgdupes_spark.operators.sampling import mixture_sample
+
+    d = _docs(spark, 300)  # 100 per lang "0","1","2"
+    out = mixture_sample(
+        d, "lang", {"0": 0.5, "1": 0.1}, default_fraction=0.03
+    )
+    got = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert got == {"0": 50, "1": 10, "2": 3}
+    # default 0 drops unlisted strata entirely
+    only = mixture_sample(d, "lang", {"1": 0.2})
+    assert {r.lang for r in only.select("lang").distinct().collect()} == {"1"}
+    # stratified_sample delegates: constant dict == uniform fraction
+    from imgdupes_spark.operators.sampling import stratified_sample
+
+    a = sorted(r.doc_id for r in stratified_sample(d, "lang", 0.07).collect())
+    b = sorted(
+        r.doc_id
+        for r in mixture_sample(d, "lang", {}, default_fraction=0.07).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        mixture_sample(d, "lang", {"0": 1.5})
+
+
+def test_split_leakage_report_flags_straddlers(spark):
+    from imgdupes_spark.operators.sampling import split_leakage_report
+
+    members = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5), (6, 5)],
+        "doc_id long, cluster_id long",
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "train"),
+         (5, "val"), (6, "train")],
+        "doc_id long, split string",
+    )
+    out = {
+        r.cluster_id: (r.n_members, r.n_splits, r.splits)
+        for r in split_leakage_report(members, splits).collect()
+    }
+    # cluster 3 is wholly in train -> clean; 1 and 5 straddle
+    assert out == {1: (2, 2, "test,train"), 5: (2, 2, "train,val")}
+
+
 def test_shard_by_tokens_matches_serial_prefix_sum(spark):
     # the distributed (bucketed) prefix sum must equal the serial one: lay
     # the docs out in sha-key order in plain Python and compare offsets.
