@@ -128,3 +128,41 @@ def test_audio_chunk_hash_properties(clip, gain_div):
     # structural property holds: scaled kept indices stay within the grid
     n_windows = max(1, (len(clip) - chunk) // hop + 1)
     assert all(0 <= i < n_windows for i, _ in audio_chunk_hashes(scaled, rate))
+
+
+# --- sampling threshold/quota arithmetic (operators/sampling.py) ---
+# pure integer/string devices the split/sample/shard stage rests on; these
+# pin the invariants the Spark tests can only spot-check.
+
+from imgdupes_spark.operators.sampling import _HEX_DIGITS, _threshold_hex
+
+
+@given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+@SMALL
+def test_threshold_hex_monotone_and_ordered(f):
+    t = _threshold_hex(f)
+    if f >= 1.0:
+        assert t == "g"  # past every hex key
+    else:
+        assert len(t) == _HEX_DIGITS and int(t, 16) == int(f * 16**_HEX_DIGITS)
+        # lexicographic order == numeric order for fixed-width lowercase hex
+        assert t <= _threshold_hex(min(1.0, f + 0.1))
+
+
+@given(
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    st.integers(min_value=0, max_value=10**12),
+)
+@SMALL
+def test_integer_quota_equals_exact_ceil(f, n):
+    """The (n*num + den-1) div den quota must equal ceil(n * round(f,6))
+    computed exactly in rationals — for ANY fraction and stratum size up
+    to the 10^12 target (where float ceil(n*f) is off by one on ulp
+    landings and doubles can't even represent the product)."""
+    from fractions import Fraction
+    import math
+
+    num, den = round(f * 1_000_000), 1_000_000
+    got = (n * num + den - 1) // den
+    want = math.ceil(Fraction(n) * Fraction(num, den))
+    assert got == want
