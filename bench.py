@@ -202,6 +202,22 @@ def main() -> None:
             lambda: duplicate_spans(span_input, k=8).count(),
             q_k,
         )
+        # continuation surface: token-budget sharding over the same corpus —
+        # the bucketed distributed prefix sum (sampling.py) at bench scale;
+        # the operator's internal 256-row offset collect is part of its cost
+        # and is timed inside the leg
+        from imgdupes_spark.functions.text import token_count_col
+        from imgdupes_spark.operators.sampling import shard_by_tokens
+
+        shard_input = corpus.select(
+            F.xxhash64("repo", "path", "commit").alias("doc_id"),
+            token_count_col(F.col("content")).alias("n_tokens"),
+        )
+        legged(
+            "token_shards_corpus",
+            lambda: shard_by_tokens(shard_input, 100_000).count(),
+            q_k,
+        )
         decon_result = {
             "legs_sec": all_legs["decontaminate"],
             "best_sec": timings["decontaminate"],

@@ -519,3 +519,60 @@ def test_stream_sink_manifest_crash_replay(spark, cfg, tmp_path):
     ).awaitTermination(120)
     assert tbl.read().count() == 2 * n1
     assert {key_a0, key_b0} <= tbl.committed_ops()
+
+
+def test_stream_split_stamp_is_stateless_and_batch_identical(spark, cfg, tmp_path):
+    """assign_split's label is a pure per-row function of the identity, so
+    it composes into a streaming projection UNMODIFIED — no state store,
+    no watermark — and every stamped label must equal the batch
+    assignment for the same rows (the growth-stability property means
+    arrival order and batching cannot matter)."""
+    from pyspark.sql import functions as F
+
+    from imgdupes_spark.operators.sampling import split_col
+
+    src = str(tmp_path / "incoming")
+    dst = str(tmp_path / "stamped")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = spark.range(40).select(F.col("id").alias("doc_id"))
+    rows.filter("doc_id < 25").write.mode("append").parquet(src)
+
+    def stamp(stream_df):
+        return stream_df.withColumn(
+            "split",
+            split_col(
+                F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+            ),
+        )
+
+    schema = "doc_id long"
+    q = (
+        stamp(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # second wave through the same checkpoint
+    rows.filter("doc_id >= 25").write.mode("append").parquet(src)
+    q2 = (
+        stamp(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    streamed = {
+        r.doc_id: r.split for r in spark.read.parquet(dst).collect()
+    }
+    batch = {
+        r.doc_id: r.split
+        for r in stamp(rows).collect()
+    }
+    assert streamed == batch and len(streamed) == 40
