@@ -554,6 +554,26 @@ def _q_dup_span_stats(spark, sf_dir):
     )
 
 
+def _q_contamination_spans(spark, sf_dir):
+    """Passage-level contamination localization (operators/decontaminate.py
+    contamination_spans): the exact token ranges where benchmark text
+    leaked into corpus docs — the actionable extension of the doc-level
+    decontaminate report. Same synthesized eval suite as decontaminate
+    (30-token prefixes of doc_id % 29 == 3), so the prefix docs must
+    report spans at offset 0 with exact boundaries; the SQL twin replays
+    the broadcast gram-set membership + island merge on gram strings."""
+    from imgdupes_spark.functions.fingerprints import tokens_col
+    from imgdupes_spark.operators.decontaminate import contamination_spans
+
+    d = _docs(_prep(spark), sf_dir)
+    bench = d.filter(F.col("doc_id") % 29 == 3).select(
+        F.concat_ws(" ", F.slice(tokens_col(F.col("text")), 1, 30)).alias(
+            "text"
+        )
+    )
+    return contamination_spans(d, bench, k=8)
+
+
 def _q_span_attribution(spark, sf_dir):
     """Duplicated spans WITH canonical-partner attribution
     (operators/spans.py attribute_duplicate_spans): each hot k-gram window
@@ -1189,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": _q_strip_boilerplate,
         "duplicate_spans": _q_duplicate_spans,
         "span_attribution": _q_span_attribution,
+        "contamination_spans": _q_contamination_spans,
         "corpus_split": _q_corpus_split,
         "stratified_sample": _q_stratified_sample,
         "token_shards": _q_token_shards,
@@ -1830,6 +1851,49 @@ def _static_oracle_sql() -> dict[str, str]:
               FROM documents GROUP BY lang)
             SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
             WHERE rk <= quota
+        """,
+        "contamination_spans": """
+            WITH tk AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                            x -> x <> '') AS toks
+              FROM documents),
+            bt AS (
+              SELECT toks[1:least(30, len(toks))] AS btoks
+              FROM tk WHERE doc_id % 29 = 3),
+            bg AS (
+              SELECT DISTINCT
+                array_to_string(btoks[i:i+7], ' ') AS gram
+              FROM (
+                SELECT btoks, unnest(generate_series(1,
+                    greatest(len(btoks) - 7, 0))) AS i
+                FROM bt)),
+            g AS (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(toks) - 7, 0)),
+                i -> {'pos': i - 1,
+                      'gram': array_to_string(toks[i:i+7], ' ')})) AS pg
+              FROM tk),
+            eg AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g),
+            hits AS (
+              SELECT doc_id, pos FROM eg
+              WHERE gram IN (SELECT gram FROM bg)),
+            brk AS (
+              SELECT doc_id, pos,
+                CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS b
+              FROM hits),
+            isl AS (
+              SELECT doc_id, pos,
+                sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM brk)
+            SELECT doc_id,
+              CAST(min(pos) AS BIGINT) AS span_start,
+              CAST(max(pos) + 8 AS BIGINT) AS span_end,
+              CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+            FROM isl GROUP BY doc_id, island
         """,
         "mixture_sample": """
             WITH k AS (

@@ -49,6 +49,73 @@ def benchmark_ngrams(bench: DataFrame, k: int, text_col: str = "text") -> DataFr
     )
 
 
+def benchmark_gram_hashes(
+    bench: DataFrame, k: int, text_col: str = "text"
+) -> DataFrame:
+    """Distinct xxhash64 positional-gram hashes of the benchmark suite —
+    the 8-byte broadcast side for span-level localization (the string-gram
+    :func:`benchmark_ngrams` stays for the doc-level report, whose oracle
+    replays text grams). One ``__gh`` column."""
+    from imgdupes_spark.operators.spans import positional_gram_hashes
+
+    return (
+        bench.select(
+            F.explode(positional_gram_hashes(F.col(text_col), k)).alias("__gh")
+        )
+        .distinct()
+    )
+
+
+def contamination_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Passage-level contamination LOCALIZATION: the maximal token spans
+    of each corpus document whose every k-token window occurs verbatim
+    somewhere in the benchmark suite — i.e. exactly WHERE the eval text
+    leaked, not just that a doc's overlap count crossed a threshold
+    (:func:`contamination_report`'s business). The actionable output:
+    strip the span, or audit the eval item it names.
+
+    Same machinery as cross-document span detection (operators/spans.py):
+    positional gram hashes, hit = membership in the BROADCAST benchmark
+    hash set (eval suites are small relative to a 10^12-file corpus, the
+    module invariant), gaps-and-islands merge per doc. The corpus is
+    scanned once and never shuffled against the suite; the only exchange
+    is the per-doc island window over hit rows.
+
+    Returns ``(id_col, span_start, span_end, span_tokens)``; span_end
+    exclusive, minimum detectable leak length = k tokens."""
+    from imgdupes_spark.operators.spans import (
+        merge_hit_islands,
+        positional_gram_hashes,
+    )
+
+    grams = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(positional_gram_hashes(F.col(text_col), k)).alias(
+            "__pos", "__gh"
+        ),
+    )
+    hits = grams.join(
+        F.broadcast(benchmark_gram_hashes(bench, k, bench_text_col)),
+        "__gh",
+        "left_semi",
+    ).select("__doc", "__pos")
+    return merge_hit_islands(hits, k, ["__doc"]).select(
+        F.col("__doc").alias(id_col),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start"))
+        .cast("long")
+        .alias("span_tokens"),
+    )
+
+
 def contamination_report(
     docs: DataFrame,
     bench_grams: DataFrame,

@@ -77,6 +77,42 @@ def positional_gram_hashes(content: F.Column, k: int) -> F.Column:
     return F.when(n_grams >= 1, grams).otherwise(F.array().cast("array<long>"))
 
 
+def merge_hit_islands(
+    hits: DataFrame,
+    k: int,
+    partition_cols: list[str],
+    pos_col: str = "__pos",
+) -> DataFrame:
+    """Gaps-and-islands merge shared by every span operator: a hit at pos
+    covers tokens [pos, pos+k); a new island starts when the current hit
+    begins past the running max end of every earlier hit in its partition
+    (strictly greater = overlap AND touch both merge). Returns
+    ``partition_cols + (span_start, span_end)`` (exclusive end, longs).
+    Both window expressions share one (partition, order) spec → one
+    exchange feeds them."""
+    w = Window.partitionBy(*partition_cols).orderBy(pos_col)
+    prev_end = F.max(F.col(pos_col) + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.select(
+        *partition_cols,
+        pos_col,
+        F.sum(
+            (F.col(pos_col) > F.coalesce(prev_end, F.lit(-1))).cast("int")
+        )
+        .over(w)
+        .alias("__isl"),
+    )
+    return (
+        islands.groupBy(*partition_cols, "__isl")
+        .agg(
+            F.min(pos_col).cast("long").alias("span_start"),
+            (F.max(pos_col) + k).cast("long").alias("span_end"),
+        )
+        .drop("__isl")
+    )
+
+
 def duplicate_spans(
     docs: DataFrame,
     k: int = 8,
@@ -148,38 +184,13 @@ def duplicate_spans(
         )
         hits = grams.join(hot, "__gh", "left_semi")
 
-    # gaps-and-islands: a hit at pos covers tokens [pos, pos+k); a new span
-    # starts when the current hit begins past the running max end of every
-    # earlier hit (strictly greater = overlap AND touch both merge). Both
-    # window expressions share (partitionBy __doc, orderBy __pos) -> one
-    # exchange feeds them.
-    w = Window.partitionBy("__doc").orderBy("__pos")
-    prev_end = F.max(F.col("__pos") + k).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    islands = hits.select(
-        "__doc",
-        "__pos",
-        F.sum(
-            (F.col("__pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
-        )
-        .over(w)
-        .alias("__isl"),
-    )
-    return (
-        islands.groupBy("__doc", "__isl")
-        .agg(
-            F.min("__pos").alias("span_start"),
-            (F.max("__pos") + k).alias("span_end"),
-        )
-        .select(
-            F.col("__doc").alias(id_col),
-            F.col("span_start").cast("long"),
-            F.col("span_end").cast("long"),
-            (F.col("span_end") - F.col("span_start"))
-            .cast("long")
-            .alias("span_tokens"),
-        )
+    return merge_hit_islands(hits, k, ["__doc"]).select(
+        F.col("__doc").alias(id_col),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start"))
+        .cast("long")
+        .alias("span_tokens"),
     )
 
 
@@ -222,23 +233,7 @@ def _duplicate_spans_precollapsed(
         .filter("__hot")
         .select("__doc", "__pos")
     )
-    w = Window.partitionBy("__doc").orderBy("__pos")
-    prev_end = F.max(F.col("__pos") + k).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    islands = hits.select(
-        "__doc",
-        "__pos",
-        F.sum(
-            (F.col("__pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
-        )
-        .over(w)
-        .alias("__isl"),
-    )
-    rep_spans = islands.groupBy("__doc", "__isl").agg(
-        F.min("__pos").alias("span_start"),
-        (F.max("__pos") + k).alias("span_end"),
-    )
+    rep_spans = merge_hit_islands(hits, k, ["__doc"])
     # member -> rep mapping via a sha window (no second aggregate subtree;
     # same min-id rule as reps)
     membership = keyed.select(
@@ -312,24 +307,12 @@ def strip_duplicate_spans(
         )
         .select("__doc", "__pos")
     )
-    w = Window.partitionBy("__doc").orderBy("__pos")
-    prev_end = F.max(F.col("__pos") + k).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    islands = hits.select(
-        "__doc",
-        "__pos",
-        F.sum(
-            (F.col("__pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
-        )
-        .over(w)
-        .alias("__isl"),
-    )
     spans = (
-        islands.groupBy("__doc", "__isl")
-        .agg(
-            F.min("__pos").alias("s"),
-            (F.max("__pos") + k).alias("e"),
+        merge_hit_islands(hits, k, ["__doc"])
+        .select(
+            "__doc",
+            F.col("span_start").cast("int").alias("s"),
+            F.col("span_end").cast("int").alias("e"),
         )
         .groupBy("__doc")
         .agg(F.collect_list(F.struct("s", "e")).alias("__spans"))
@@ -418,35 +401,14 @@ def attribute_duplicate_spans(
         .otherwise(F.col("__gmin"))
         .alias("__partner"),
     )
-    w = Window.partitionBy("__doc", "__partner").orderBy("__pos")
-    prev_end = F.max(F.col("__pos") + k).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    islands = hits.select(
-        "__doc",
-        "__partner",
-        "__pos",
-        F.sum(
-            (F.col("__pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
-        )
-        .over(w)
-        .alias("__isl"),
-    )
-    return (
-        islands.groupBy("__doc", "__partner", "__isl")
-        .agg(
-            F.min("__pos").alias("span_start"),
-            (F.max("__pos") + k).alias("span_end"),
-        )
-        .select(
-            F.col("__doc").alias(id_col),
-            F.col("__partner").alias("partner_id"),
-            F.col("span_start").cast("long"),
-            F.col("span_end").cast("long"),
-            (F.col("span_end") - F.col("span_start"))
-            .cast("long")
-            .alias("span_tokens"),
-        )
+    return merge_hit_islands(hits, k, ["__doc", "__partner"]).select(
+        F.col("__doc").alias(id_col),
+        F.col("__partner").alias("partner_id"),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start"))
+        .cast("long")
+        .alias("span_tokens"),
     )
 
 

@@ -53,6 +53,45 @@ def test_contamination_partial_and_zero(spark, corpus):
     assert (rep[6].n_grams, rep[6].contaminated) == (0, False)
 
 
+def test_contamination_spans_localize_leaks(spark, corpus):
+    """Span-level localization: the exact leaked token range, not just the
+    doc-level hit count — bench doc leaked verbatim at offset 0 (doc 1)
+    and offset 2 (doc 2); doc 3's 3-token partial overlap is below the
+    k=4 minimum leak length and must NOT appear."""
+    from imgdupes_spark.operators.decontaminate import contamination_spans
+
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    spans = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in contamination_spans(corpus, bench, k=4).collect()
+    )
+    assert spans == [(1, 0, 6, 6), (2, 2, 8, 6)]
+    # disjoint leaks stay separate spans
+    two = _docs(
+        spark,
+        [(7, "alpha beta gamma delta x y z delta epsilon zeta alpha")],
+    )
+    got = sorted(
+        (r.span_start, r.span_end)
+        for r in contamination_spans(two, bench, k=4).collect()
+    )
+    assert got == [(0, 4)]  # second fragment has no 4-window in bench order
+
+
+def test_contamination_spans_plan_broadcast_no_shuffle_join(spark, corpus):
+    from imgdupes_spark.operators.decontaminate import contamination_spans
+
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    plan = (
+        contamination_spans(corpus, bench, k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
 def test_contamination_empty_benchmark(spark, corpus):
     bench = benchmark_ngrams(_docs(spark, [(100, "ab")]), k=3)  # no grams
     rep = contamination_report(corpus, bench, k=3, min_hits=1)
