@@ -1,0 +1,88 @@
+"""Bucketed table materialization — the co-located-join device for
+relations that are JOINED REPEATEDLY on one key (the signatures table
+re-joined by doc_id across dedup/curation/assembly stages; a persisted
+edges table probed per incremental run).
+
+A plain parquet join shuffles BOTH sides on every query. Writing the
+table bucketed by the join key (hash-partitioned files + bucket metadata
+in the catalog) moves that shuffle to WRITE time, once: any later
+equi-join or aggregation on the bucket key reads the files already
+hash-clustered and plans with ZERO exchange on that side —
+`assert "Exchange" not in plan` is the test contract, not prose. At
+10^12 rows the repeated-shuffle saving dominates the one-time write
+cost as soon as the table is read twice.
+
+Spark only exposes bucketing through the catalog writer
+(`saveAsTable`; `parquet(path)` silently drops bucket metadata — a
+classic footgun this module exists to fence). Tables are written as
+EXTERNAL (explicit `path`), so the data lives where the caller says and
+the catalog entry is just metadata. This sandbox's in-memory catalog
+scopes that metadata to the session: re-registering after a restart is
+`register_bucketed` (one DDL statement over the existing files); a
+production deployment has a persistent metastore/catalog and skips that
+step. Same degrade-gracefully posture as plans/manifest.py.
+
+Sizing: n_buckets is fixed at write time — pick it for the TARGET
+corpus (files per bucket ≈ rows * row_bytes / n_buckets ≤ a few hundred
+MB). Both sides of a co-located join must share the bucket count (or
+one must be a multiple; Spark coalesces) and the bucket column set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Write ``df`` as an external parquet table bucketed by
+    ``bucket_cols`` (optionally sorted within buckets, which upgrades
+    later merge joins to zero-sort as well). Returns the catalog-backed
+    reader whose scan carries the bucket distribution."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be > 0, got {n_buckets}")
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    writer = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(name)
+    return spark.table(name)
+
+
+def register_bucketed(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    schema_ddl: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Re-attach an existing bucketed parquet directory to a (fresh)
+    session catalog — one DDL, no data movement. ``schema_ddl`` is the
+    column list (e.g. ``"doc_id BIGINT, simhash BIGINT"``); the bucket
+    spec must match what :func:`write_bucketed` wrote, or joins will be
+    silently mis-clustered — the same caller-trust contract as the RP
+    index geometry before round 6 moved it into the manifest; a catalog
+    deployment records it in the metastore instead."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    sort = (
+        f"SORTED BY ({', '.join(sort_cols)}) " if sort_cols else ""
+    )
+    spark.sql(
+        f"CREATE TABLE {name} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY ({', '.join(bucket_cols)}) {sort}"
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
+    return spark.table(name)
