@@ -270,6 +270,7 @@ class DedupePipeline:
         ngram_k: int = 8,
         min_hits: int = 5,
         span_min_docs: int | None = None,
+        leak_spans: bool = False,
     ) -> DataFrame:
         """Checkpointed curation stage: the per-doc quality surface (token
         count, quality ratios, language guess, repetition signals) plus —
@@ -278,6 +279,11 @@ class DedupePipeline:
         set — the cross-document duplicated-span coverage report
         (operators/spans.py; opt-in because its gram explode is the one
         branch whose shuffle grows with corpus TOKENS, not docs).
+        ``leak_spans=True`` (requires ``bench``) additionally aggregates
+        passage-level contamination localization per doc — n_leak_spans /
+        leak_tokens from operators/decontaminate.contamination_spans —
+        the "how MUCH eval text leaked and where" columns next to the
+        doc-level contaminated flag.
 
         The content-bearing corpus is NEVER persisted (same discipline as
         the signatures stage, fingerprints.py: nothing wide is cached or
@@ -308,6 +314,8 @@ class DedupePipeline:
             contamination_report,
         )
 
+        if leak_spans and bench is None:
+            raise ValueError("leak_spans=True requires a benchmark DataFrame")
         keyed = corpus.withColumn("__cid", doc_id_col(self.cfg))
         # content fingerprint of the corpus — one column-pruned scan; full
         # 64-bit hash in the key (32-bit truncation collides at ~2^-32 for
@@ -333,6 +341,8 @@ class DedupePipeline:
             # appended only when the branch is on, so pre-existing
             # checkpoints keyed by the old format stay resumable
             stage += f"-s{span_min_docs}"
+        if leak_spans:
+            stage += "-L"
 
         def compute() -> DataFrame:
             prof = text_profile(keyed, content_col="content")
@@ -355,6 +365,25 @@ class DedupePipeline:
                     id_col="__cid", content_col="content",
                 ).drop("n_tokens")  # token_count already in the profile
                 out = out.join(spans, "__cid")
+            if leak_spans:
+                from imgdupes_spark.operators.decontaminate import (
+                    contamination_spans,
+                )
+
+                leaks = (
+                    contamination_spans(
+                        keyed, bench, k=ngram_k,
+                        id_col="__cid", text_col="content",
+                    )
+                    .groupBy("__cid")
+                    .agg(
+                        F.count("*").alias("n_leak_spans"),
+                        F.sum("span_tokens").alias("leak_tokens"),
+                    )
+                )
+                out = out.join(leaks, "__cid", "left").fillna(
+                    0, ["n_leak_spans", "leak_tokens"]
+                )
             return out.drop("__cid")
 
         return self._stage(stage, compute, resume)

@@ -117,6 +117,20 @@ def test_curation_stage_resumes_and_flags(spark, cfg, small_corpus, tmp_path):
     p6.run_curation(small_corpus, span_min_docs=2)
     assert stage_of(p6).resumed
 
+    # leak-span branch: per-doc localization aggregates ride next to the
+    # doc-level flag; the benchmark doc leaks its own full token stream
+    p7 = DedupePipeline(spark, cfg, wd)
+    out7 = p7.run_curation(small_corpus, bench=bench, leak_spans=True)
+    assert not stage_of(p7).resumed
+    assert {"n_leak_spans", "leak_tokens"} <= set(out7.columns)
+    vrow = out7.filter(F.col("path") == victim.path).first()
+    assert vrow.n_leak_spans >= 1 and vrow.leak_tokens == vrow.token_count
+    assert out7.filter("n_leak_spans = 0").count() > 0  # clean docs report 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        p7.run_curation(small_corpus, leak_spans=True)
+
 
 def test_incremental_signatures(spark, cfg, small_corpus, small_corpus_pd, tmp_path):
     corpus_pd, _ = small_corpus_pd
