@@ -14,6 +14,13 @@ the imgdupes_spark package; this file is argument plumbing.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# spark-submit ships the package via --py-files; a plain `python
+# jobs/dedupe_job.py` from a checkout gets the repo root instead (python
+# puts the script's own dir, not the cwd, on sys.path)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
@@ -48,6 +55,23 @@ def main() -> None:
         help="also report cross-doc duplicated-span coverage inside "
         "--curation (opt-in: the gram explode scales with corpus tokens)",
     )
+    ap.add_argument(
+        "--leak-spans",
+        action="store_true",
+        help="with --benchmark: per-doc passage-leak aggregates "
+        "(n_leak_spans, leak_tokens) inside --curation",
+    )
+    ap.add_argument(
+        "--assembly",
+        action="store_true",
+        help="also run the dataset-assembly stage (deterministic "
+        "train/val/test split over the corpus identity)",
+    )
+    ap.add_argument(
+        "--tokens-per-shard",
+        type=int,
+        help="with --assembly: per-split token-budget shard assignment",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("imgdupes_spark_dedupe").getOrCreate()
@@ -74,6 +98,13 @@ def main() -> None:
             bench=bench,
             resume=not args.no_resume,
             span_min_docs=args.span_min_docs,
+            leak_spans=args.leak_spans,
+        )
+    if args.assembly or args.tokens_per_shard:
+        pipe.run_assembly(
+            corpus,
+            tokens_per_shard=args.tokens_per_shard,
+            resume=not args.no_resume,
         )
     n = members.count()
     print(f"clustered members: {n}; stages: "
