@@ -985,6 +985,29 @@ def _q_audio_dedup_anchor(spark, sf_dir):
     return out.select("asset_id", "cluster_id", "cluster_size")
 
 
+def _q_knn_ivf_indexed(spark, sf_dir):
+    """knn_ivf over the PERSISTED cell index (build_ivf_index +
+    knn_ivf_indexed — pivots ride the manifest commit, the probe scan is
+    dynamic-partition-pruned to the nprobe cells): builds into a scratch
+    dir, probes, and must return exactly the inline IVF result — so the
+    same replayed-semantics oracle as the knn_ivf entry checks it."""
+    import shutil
+    import tempfile
+
+    from imgdupes_spark.operators.knn import build_ivf_index, knn_ivf_indexed
+
+    e = _emb(_prep(spark), sf_dir)
+    probes = e.filter(F.col("vec_id") % 100 == 0)
+    idx = tempfile.mkdtemp(prefix="ivfidx_")
+    try:
+        build_ivf_index(e, idx, n_cells=16)
+        out = knn_ivf_indexed(spark, idx, probes, n_cells=16, nprobe=2, k=5)
+        out = out.localCheckpoint(eager=True)  # free the scratch dir
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return out
+
+
 def _q_knn_indexed(spark, sf_dir):
     """knn_lsh over the PERSISTED RP-bucket index (build_rp_index +
     knn_lsh_indexed — the probe-service path whose scan is dynamically
@@ -1231,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_dedup": _q_video_dedup,
         "cross_modal": _q_cross_modal,
         "knn_indexed": _q_knn_indexed,
+        "knn_ivf_indexed": _q_knn_ivf_indexed,
         # value-oracled via the pure-python xxh64 twin embedded as a VALUES
         # literal (_doc_fingerprints_oracle); falls back to rows-only when
         # the fixture parquet is unreadable:
@@ -1249,6 +1273,57 @@ _TOKS = "list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> ''
 from imgdupes_spark.functions.code import CLONE_KEYWORDS as _CLONE_KW
 
 _CLONE_KW_SQL = ", ".join(f"'{k}'" for k in _CLONE_KW)
+
+_IVF_SQL = """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            kv AS (
+              SELECT vec_id, e,
+                substring(sha256(CAST(vec_id AS VARCHAR) || ':ivf:v1'),
+                          1, 12) AS key
+              FROM v),
+            piv AS (
+              SELECT vec_id AS cell_id, e AS c FROM kv
+              ORDER BY key, vec_id LIMIT 16),
+            asg AS (
+              SELECT vec_id, cell_id FROM (
+                SELECT kv.vec_id, piv.cell_id,
+                  row_number() OVER (PARTITION BY kv.vec_id
+                    ORDER BY round(list_dot_product(kv.e, piv.c)
+                        / (sqrt(list_dot_product(kv.e, kv.e))
+                           * sqrt(list_dot_product(piv.c, piv.c))), 6) DESC,
+                      piv.cell_id ASC) AS rn
+                FROM kv, piv)
+              WHERE rn = 1),
+            p AS (SELECT vec_id AS query_id, e AS q FROM v
+                  WHERE vec_id % 100 = 0),
+            qc AS (
+              SELECT query_id, cell_id FROM (
+                SELECT p.query_id, piv.cell_id,
+                  row_number() OVER (PARTITION BY p.query_id
+                    ORDER BY round(list_dot_product(p.q, piv.c)
+                        / (sqrt(list_dot_product(p.q, p.q))
+                           * sqrt(list_dot_product(piv.c, piv.c))), 6) DESC,
+                      piv.cell_id ASC) AS rn
+                FROM p, piv)
+              WHERE rn <= 2),
+            s AS (
+              SELECT p.query_id, v.vec_id AS neighbor_id,
+                round(list_dot_product(p.q, v.e)
+                      / (sqrt(list_dot_product(p.q, p.q))
+                         * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
+              FROM qc
+              JOIN asg USING (cell_id)
+              JOIN v ON v.vec_id = asg.vec_id
+              JOIN p ON p.query_id = qc.query_id
+              WHERE v.vec_id <> p.query_id)
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(rank AS INTEGER) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                  FROM s)
+            WHERE rank <= 5
+"""
 
 _KNN_SQL = """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -1413,56 +1488,8 @@ def _static_oracle_sql() -> dict[str, str]:
         # data) and reaches recall 1.0 at this scale -> the exact top-k SQL
         # is its oracle; any dropped neighbor fails the hash.
         "knn_lsh": _KNN_SQL,
-        "knn_ivf": """
-            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                       FROM embeddings),
-            kv AS (
-              SELECT vec_id, e,
-                substring(sha256(CAST(vec_id AS VARCHAR) || ':ivf:v1'),
-                          1, 12) AS key
-              FROM v),
-            piv AS (
-              SELECT vec_id AS cell_id, e AS c FROM kv
-              ORDER BY key, vec_id LIMIT 16),
-            asg AS (
-              SELECT vec_id, cell_id FROM (
-                SELECT kv.vec_id, piv.cell_id,
-                  row_number() OVER (PARTITION BY kv.vec_id
-                    ORDER BY round(list_dot_product(kv.e, piv.c)
-                        / (sqrt(list_dot_product(kv.e, kv.e))
-                           * sqrt(list_dot_product(piv.c, piv.c))), 6) DESC,
-                      piv.cell_id ASC) AS rn
-                FROM kv, piv)
-              WHERE rn = 1),
-            p AS (SELECT vec_id AS query_id, e AS q FROM v
-                  WHERE vec_id % 100 = 0),
-            qc AS (
-              SELECT query_id, cell_id FROM (
-                SELECT p.query_id, piv.cell_id,
-                  row_number() OVER (PARTITION BY p.query_id
-                    ORDER BY round(list_dot_product(p.q, piv.c)
-                        / (sqrt(list_dot_product(p.q, p.q))
-                           * sqrt(list_dot_product(piv.c, piv.c))), 6) DESC,
-                      piv.cell_id ASC) AS rn
-                FROM p, piv)
-              WHERE rn <= 2),
-            s AS (
-              SELECT p.query_id, v.vec_id AS neighbor_id,
-                round(list_dot_product(p.q, v.e)
-                      / (sqrt(list_dot_product(p.q, p.q))
-                         * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
-              FROM qc
-              JOIN asg USING (cell_id)
-              JOIN v ON v.vec_id = asg.vec_id
-              JOIN p ON p.query_id = qc.query_id
-              WHERE v.vec_id <> p.query_id)
-            SELECT query_id, neighbor_id, cosine,
-                   CAST(rank AS INTEGER) AS rank
-            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
-                  FROM s)
-            WHERE rank <= 5
-        """,
+        "knn_ivf": _IVF_SQL,
+        "knn_ivf_indexed": _IVF_SQL,
         "containment_pairs_engine": """
             SELECT least(a.doc_id, b.doc_id) AS src,
                    greatest(a.doc_id, b.doc_id) AS dst

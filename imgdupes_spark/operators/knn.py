@@ -335,10 +335,49 @@ def knn_ivf(
 
     Returns (query_id, neighbor_id, cosine, rank), same contract as
     knn_bruteforce/knn_lsh."""
+    pivots, cells = _ivf_cells(vectors, n_cells, id_col, vec_col, salt)
     v_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    corpus = vectors.select(F.col(id_col).alias("neighbor_id"), v_d.alias("v"))
+    probe = probes.select(F.col(id_col).alias("query_id"), v_d.alias("q"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos"), F.asc("cell_id")
+    )
+    qcells = (
+        probe.join(F.broadcast(pivots))
+        .withColumn("qcos", F.round(_cosine(F.col("q"), F.col("c")), 6))
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "q", "cell_id")
+    )
+    cand = cells.join(F.broadcast(qcells), "cell_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(_cosine(F.col("q"), F.col("v")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _ivf_cells(
+    vectors: DataFrame,
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+    salt: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(pivots, assigned cells) shared by the inline and indexed IVF
+    paths — one source of truth for pivot choice and argmax assignment
+    so the two can be asserted row-identical."""
     from imgdupes_spark.operators.sampling import split_key_col
 
+    v_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    corpus = vectors.select(F.col(id_col).alias("neighbor_id"), v_d.alias("v"))
     pivots = (
         corpus.select(
             F.col("neighbor_id").alias("cell_id"),
@@ -360,7 +399,95 @@ def knn_ivf(
         .groupBy("neighbor_id")
         .agg(F.bitwise_not(best.getField("nc")).alias("cell_id"))
     )
-    cells = corpus.join(assigned, "neighbor_id")
+    return pivots, corpus.join(assigned, "neighbor_id")
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "ivf:v1",
+) -> None:
+    """Materialize the IVF cell table ONCE: parquet partitioned by
+    cell_id through the atomic-manifest table, with the pivot VECTORS,
+    geometry (n_cells, salt), and a corpus fingerprint riding in the
+    commit entry — the same one-atomic-CAS contract as build_rp_index
+    (geometry and data can never tear apart; a crashed rebuild leaves
+    the old index intact). Pivot embeddings are small (n_cells × dim
+    doubles) so they live in the manifest properties; probing then needs
+    NO corpus access at all — rank the JSON pivots, scan only the
+    nprobe partitions."""
+    from imgdupes_spark.plans.manifest import ManifestedParquetTable
+
+    pivots, cells = _ivf_cells(vectors, n_cells, id_col, vec_col, salt)
+    pivot_rows = [
+        {"cell_id": int(r.cell_id), "c": [float(x) for x in r.c]}
+        for r in pivots.collect()
+    ]
+    geometry = {
+        "n_cells": n_cells,
+        "salt": salt,
+        "pivots": pivot_rows,
+        "corpus": _corpus_fingerprint(vectors, id_col),
+    }
+    tbl = ManifestedParquetTable(vectors.sparkSession, path)
+    tbl.overwrite(
+        cells, op_key="build", partition_by=["cell_id"],
+        properties={"ivf": geometry},
+    )
+    tbl.vacuum()  # single writer: reclaim the replaced build's data dirs
+
+
+def knn_ivf_indexed(
+    spark,
+    index_path: str,
+    probes: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "ivf:v1",
+    verify_corpus: DataFrame | None = None,
+) -> DataFrame:
+    """knn_ivf over a build_ivf_index table: identical results to the
+    inline path with the same geometry (pinned by tests), but the
+    assignment ran once at build time and the probe scan is pruned to
+    the nprobe cells. (n_cells, salt) are ASSERTED against the
+    committed geometry — a mismatch raises before any Spark work, the
+    same contract as knn_lsh_indexed; ``verify_corpus`` optionally
+    recomputes the corpus fingerprint and raises on staleness."""
+    from imgdupes_spark.plans.manifest import ManifestedParquetTable
+
+    tbl = ManifestedParquetTable(spark, index_path)
+    geometry = tbl.properties().get("ivf") if tbl.exists() else None
+    if geometry is None:
+        raise ValueError(
+            f"IVF index at {index_path!r} has no committed geometry — "
+            "rebuild it with build_ivf_index"
+        )
+    want = {"n_cells": n_cells, "salt": salt}
+    have = {k_: geometry.get(k_) for k_ in want}
+    if have != want:
+        raise ValueError(
+            f"IVF index geometry mismatch at {index_path!r}: built with "
+            f"{have}, probed with {want} — rebuild or fix the probe"
+        )
+    if verify_corpus is not None:
+        now = _corpus_fingerprint(verify_corpus, id_col)
+        if now != geometry.get("corpus"):
+            raise ValueError(
+                f"IVF index at {index_path!r} is STALE: corpus fingerprint "
+                f"{now} != indexed {geometry.get('corpus')} — rebuild"
+            )
+    pivots = spark.createDataFrame(
+        [(r["cell_id"], r["c"]) for r in geometry["pivots"]],
+        "cell_id long, c array<double>",
+    )
+    cells = tbl.read()
+    v_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     probe = probes.select(F.col(id_col).alias("query_id"), v_d.alias("q"))
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("qcos"), F.asc("cell_id")

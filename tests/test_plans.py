@@ -146,3 +146,46 @@ def test_rp_index_geometry_contract(spark, tmp_path):
     e.limit(3).write.parquet(bare)
     with pytest.raises(ValueError, match="no committed geometry"):
         knn_lsh_indexed(spark, bare, probes, 64, k=5, n_bits=4, n_tables=16)
+
+
+def test_ivf_index_probe_parity_pruning_and_contract(spark, tmp_path):
+    """The persisted IVF index inherits the RP index contract: (a) probe
+    results identical to the inline knn_ivf with the same geometry, (b)
+    the cell scan is dynamic-partition-pruned to the nprobe cells — no
+    corpus access outside them (pivots live in the manifest commit), (c)
+    geometry mismatch and corpus staleness raise before any Spark work."""
+    import pytest
+
+    from imgdupes_spark.operators.knn import (
+        build_ivf_index,
+        knn_ivf,
+        knn_ivf_indexed,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    probes = e.filter(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "ivfidx")
+    build_ivf_index(e, idx, n_cells=16)
+
+    out = knn_ivf_indexed(spark, idx, probes, n_cells=16, nprobe=2, k=5)
+    base = knn_ivf(e, probes, n_cells=16, nprobe=2, k=5)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+
+    plan = _plan(out)
+    assert "dynamicpruning" in plan.lower(), plan
+    index_scan = [
+        ln for ln in plan.split("\n") if "FileScan parquet [neighbor_id" in ln
+    ]
+    assert index_scan and any("dynamicpruning" in ln for ln in index_scan)
+
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        knn_ivf_indexed(spark, idx, probes, n_cells=32, nprobe=2)
+    with pytest.raises(ValueError, match="STALE"):
+        knn_ivf_indexed(
+            spark, idx, probes, n_cells=16, nprobe=2,
+            verify_corpus=e.limit(100),
+        )
+    with pytest.raises(ValueError, match="no committed geometry"):
+        knn_ivf_indexed(spark, str(tmp_path / "nope"), probes, n_cells=16)
