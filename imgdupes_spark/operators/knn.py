@@ -1,5 +1,6 @@
 """Similarity search over embedding columns: brute-force cosine top-k, an
-LSH-bucketed probe path, and corpus-vs-corpus embedding dedup.
+LSH-bucketed probe path, an IVF-flat Voronoi-cell path (inline and
+manifest-indexed), and corpus-vs-corpus embedding dedup.
 
 Brute force is the correctness baseline: probe side broadcast, dot products
 as zip_with/aggregate over doubles — whole-stage codegen, no Python. The

@@ -37,6 +37,11 @@ Everything is whole-stage-codegen DataFrame ops — no UDFs, no driver-side
 collection, no suffix array. Per-doc work is linear in tokens; cross-doc
 work is linear in hot-gram hits.
 
+:func:`attribute_duplicate_spans` adds canonical-partner provenance per
+span; :func:`strip_duplicate_spans` is the keep-one-occurrence action;
+:func:`merge_hit_islands` is the shared island engine other modules
+(decontaminate.contamination_spans) build on.
+
 Caveats shared with the suffix-array formulation: a position can be hot
 against DIFFERENT partner documents at different offsets, so a merged span
 is the union of duplicated coverage, not a single pairwise match; and a
