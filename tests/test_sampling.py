@@ -130,6 +130,45 @@ def test_split_leakage_report_flags_straddlers(spark):
     assert out == {1: (2, 2, "test,train"), 5: (2, 2, "train,val")}
 
 
+def test_dedup_then_split_eliminates_leakage(spark):
+    """The end-to-end point of the stage ordering: on a twin-bearing
+    corpus, splitting WITHOUT dedup leaks duplicate clusters across
+    boundaries; splitting the deduped (keep-first) corpus cannot — the
+    leakage report over the kept docs is empty by construction, and the
+    test pins both directions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from imgdupes_spark.operators.sampling import (
+        assign_split,
+        split_leakage_report,
+    )
+
+    base = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("content "), (F.col("id") % 120).cast("string")).alias(
+            "text"
+        ),  # 120 distinct contents -> plenty of exact twins
+    )
+    members = (
+        base.withColumn(
+            "cluster_id", F.min("doc_id").over(Window.partitionBy("text"))
+        )
+        .withColumn("sz", F.count("*").over(Window.partitionBy("text")))
+        .filter("sz > 1")
+        .select("doc_id", "cluster_id")
+    )
+    splits = assign_split(
+        base.select("doc_id"), {"train": 0.7, "val": 0.3}
+    ).select("doc_id", "split")
+    leaky = split_leakage_report(members, splits)
+    assert leaky.count() > 0  # undeduped split leaks
+
+    kept = members.filter(F.col("doc_id") == F.col("cluster_id"))
+    clean = split_leakage_report(kept, splits)
+    assert clean.count() == 0  # dedup-then-split cannot straddle
+
+
 def test_shard_by_tokens_matches_serial_prefix_sum(spark):
     # the distributed (bucketed) prefix sum must equal the serial one: lay
     # the docs out in sha-key order in plain Python and compare offsets.
