@@ -1169,6 +1169,37 @@ def _q_stream_quality_gate(spark, sf_dir):
     )
 
 
+def _q_stream_leak_gate(spark, sf_dir):
+    """Streaming passage-leak gate captured as a batch result: same
+    staging device as the other gate entries and the same synthesized
+    suite as decontaminate/contamination_spans (30-token prefixes of
+    doc_id % 29 == 3), so the oracle is the batch contamination_spans
+    SQL aggregated per doc over the full doc spine — the gate must
+    reproduce the batch localization row-for-row through foreachBatch."""
+    from imgdupes_spark.functions.fingerprints import tokens_col
+    from imgdupes_spark.operators.decontaminate import benchmark_gram_hashes
+    from imgdupes_spark.streaming.ingest import stream_leak_gate
+
+    spark = _prep(spark)
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 29 == 3).select(
+        F.concat_ws(" ", F.slice(tokens_col(F.col("text")), 1, 30)).alias("text")
+    )
+    hashes = benchmark_gram_hashes(bench, k=8).persist()
+    src, dst, ckpt = _stream_corpus_src(spark, sf_dir)
+    stream_leak_gate(spark, src, hashes, dst, ckpt, ngram_k=8).awaitTermination(300)
+    from imgdupes_spark.plans.manifest import ManifestedParquetTable
+
+    out = ManifestedParquetTable(spark, dst).read().localCheckpoint(eager=True)
+    hashes.unpersist()
+    return out.select(
+        F.split(F.col("path"), "/").getItem(1).cast("long").alias("doc_id"),
+        "n_leak_spans",
+        "leak_tokens",
+        F.col("leaky").cast("long").alias("leaky"),
+    )
+
+
 def _q_stream_decontamination_gate(spark, sf_dir):
     """Streaming decontamination gate captured as a batch result: same
     staging device as _q_stream_quality_gate, same benchmark-gram synthesis
@@ -1264,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-level CORRECTNESS entries):
         "stream_quality_gate": _q_stream_quality_gate,
         "stream_decontamination_gate": _q_stream_decontamination_gate,
+        "stream_leak_gate": _q_stream_leak_gate,
     }
 
 
@@ -1377,6 +1409,57 @@ def oracle_sql() -> dict[str, str]:
         FROM s
     """
     out["stream_decontamination_gate"] = out["decontaminate"]
+    # the leak gate must reproduce the batch contamination_spans
+    # localization, aggregated per doc over the full spine (zeros kept)
+    out["stream_leak_gate"] = """
+        WITH tk AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                        x -> x <> '') AS toks
+          FROM documents),
+        bt AS (
+          SELECT toks[1:least(30, len(toks))] AS btoks
+          FROM tk WHERE doc_id % 29 = 3),
+        bg AS (
+          SELECT DISTINCT array_to_string(btoks[i:i+7], ' ') AS gram
+          FROM (
+            SELECT btoks, unnest(generate_series(1,
+                greatest(len(btoks) - 7, 0))) AS i
+            FROM bt)),
+        g AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(toks) - 7, 0)),
+            i -> {'pos': i - 1,
+                  'gram': array_to_string(toks[i:i+7], ' ')})) AS pg
+          FROM tk),
+        eg AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g),
+        hits AS (
+          SELECT doc_id, pos FROM eg
+          WHERE gram IN (SELECT gram FROM bg)),
+        brk AS (
+          SELECT doc_id, pos,
+            CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS b
+          FROM hits),
+        isl AS (
+          SELECT doc_id, pos,
+            sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM brk),
+        sp AS (
+          SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+          FROM isl GROUP BY doc_id, island),
+        agg AS (
+          SELECT doc_id, count(*) AS n_leak_spans,
+                 sum(e - s) AS leak_tokens
+          FROM sp GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(coalesce(agg.n_leak_spans, 0) AS BIGINT) AS n_leak_spans,
+          CAST(coalesce(agg.leak_tokens, 0) AS BIGINT) AS leak_tokens,
+          CAST(coalesce(agg.n_leak_spans, 0) > 0 AS BIGINT) AS leaky
+        FROM documents d LEFT JOIN agg USING (doc_id)
+    """
     return out
 
 

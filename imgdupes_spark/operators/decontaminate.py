@@ -68,11 +68,12 @@ def benchmark_gram_hashes(
 
 def contamination_spans(
     docs: DataFrame,
-    bench: DataFrame,
+    bench: DataFrame | None = None,
     k: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_text_col: str = "text",
+    bench_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Passage-level contamination LOCALIZATION: the maximal token spans
     of each corpus document whose every k-token window occurs verbatim
@@ -89,12 +90,21 @@ def contamination_spans(
     is the per-doc island window over hit rows.
 
     Returns ``(id_col, span_start, span_end, span_tokens)``; span_end
-    exclusive, minimum detectable leak length = k tokens."""
+    exclusive, minimum detectable leak length = k tokens.
+
+    Pass either ``bench`` (the suite docs — hashes computed inline) or a
+    precomputed ``bench_hashes`` (:func:`benchmark_gram_hashes` output) —
+    the latter for repeated calls over one suite (the streaming gate
+    scores every micro-batch against the same persisted hash set)."""
     from imgdupes_spark.operators.spans import (
         merge_hit_islands,
         positional_gram_hashes,
     )
 
+    if (bench is None) == (bench_hashes is None):
+        raise ValueError("pass exactly one of bench / bench_hashes")
+    if bench_hashes is None:
+        bench_hashes = benchmark_gram_hashes(bench, k, bench_text_col)
     grams = docs.select(
         F.col(id_col).alias("__doc"),
         F.posexplode(positional_gram_hashes(F.col(text_col), k)).alias(
@@ -102,7 +112,7 @@ def contamination_spans(
         ),
     )
     hits = grams.join(
-        F.broadcast(benchmark_gram_hashes(bench, k, bench_text_col)),
+        F.broadcast(bench_hashes),
         "__gh",
         "left_semi",
     ).select("__doc", "__pos")

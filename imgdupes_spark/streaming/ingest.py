@@ -469,3 +469,69 @@ def stream_selfdedup_gate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_leak_gate(
+    spark: SparkSession,
+    source_dir: str,
+    bench_hashes,
+    target_dir: str,
+    checkpoint_dir: str,
+    ngram_k: int = 8,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming PASSAGE-LEAK gate (eighth streaming operator): every
+    arriving doc is localized against the static benchmark suite —
+    per-doc ``n_leak_spans`` / ``leak_tokens`` plus the ``leaky`` flag,
+    the span-level sibling of stream_decontamination_gate's gram-count
+    report. A doc that embeds an eval passage is caught AT INGEST with
+    the leak's exact token extent, not just an overlap score.
+
+    ``bench_hashes`` is operators/decontaminate.benchmark_gram_hashes
+    output (persist it: the same tiny hash set is broadcast into every
+    micro-batch). Plan shape per batch: gram explode map-side, broadcast
+    semi-join, one per-doc island window — the stream is never shuffled
+    against the suite.
+
+    Sink: ManifestedParquetTable appended with the epoch op_key —
+    write-time exactly-once on foreachBatch retry."""
+    from pyspark.sql import functions as F
+
+    from imgdupes_spark.operators.decontaminate import contamination_spans
+    from imgdupes_spark.plans.manifest import ManifestedParquetTable
+
+    corpus_schema = ", ".join(f"{c} string" for c in CORPUS_COLUMNS)
+    stream = (
+        spark.readStream.schema(corpus_schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(source_dir)
+    )
+    sink = ManifestedParquetTable(spark, target_dir)
+
+    def _score_batch(batch, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        keyed = batch.withColumn("__cid", F.xxhash64("repo", "path", "commit"))
+        spans = contamination_spans(
+            keyed, bench_hashes=bench_hashes, k=ngram_k,
+            id_col="__cid", text_col="content",
+        )
+        agg = spans.groupBy("__cid").agg(
+            F.count("*").alias("n_leak_spans"),
+            F.sum("span_tokens").alias("leak_tokens"),
+        )
+        out = (
+            keyed.select("repo", "path", "commit", "lang", "__cid")
+            .join(agg, "__cid", "left")
+            .fillna(0, ["n_leak_spans", "leak_tokens"])
+            .withColumn("leaky", F.col("n_leak_spans") > 0)
+            .drop("__cid")
+        )
+        sink.append(out, _stream_op_key(checkpoint_dir, epoch))
+
+    writer = stream.writeStream.foreachBatch(_score_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -576,3 +576,56 @@ def test_stream_split_stamp_is_stateless_and_batch_identical(spark, cfg, tmp_pat
         for r in stamp(rows).collect()
     }
     assert streamed == batch and len(streamed) == 40
+
+
+def test_stream_leak_gate_localizes_at_ingest(spark, cfg, tmp_path):
+    """Eighth streaming op: passage-leak localization per micro-batch —
+    the embedded eval passage's exact token extent rides the report
+    (leak_tokens == the passage length, not just a flag); clean docs
+    report zeros; restart drains only new files."""
+    import pandas as pd
+
+    from imgdupes_spark.operators.decontaminate import benchmark_gram_hashes
+    from imgdupes_spark.streaming.ingest import stream_leak_gate
+
+    src = str(tmp_path / "in8")
+    dst = str(tmp_path / "out8")
+    ckpt = str(tmp_path / "ck8")
+
+    secret = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    n_secret = len(secret.split())
+    bench = spark.createDataFrame([(secret,)], "text string")
+    hashes = benchmark_gram_hashes(bench, 8).persist()
+
+    def rows(items):
+        return pd.DataFrame(
+            [
+                {"repo": "r", "path": p, "commit": "c", "lang": "txt", "content": t}
+                for p, t in items
+            ]
+        )
+
+    wave = rows(
+        [
+            ("leak", "prefix words then " + secret + " and a suffix tail here"),
+            ("clean", "a completely unrelated document about spark physical plans"),
+        ]
+    )
+    spark.createDataFrame(wave).write.mode("append").parquet(src)
+    stream_leak_gate(spark, src, hashes, dst, ckpt, ngram_k=8).awaitTermination(120)
+    got = {
+        r.path: (r.n_leak_spans, r.leak_tokens, r.leaky)
+        for r in ManifestedParquetTable(spark, dst).read().collect()
+    }
+    assert got == {
+        "leak": (1, n_secret, True),
+        "clean": (0, 0, False),
+    }, got
+
+    spark.createDataFrame(
+        rows([("clean2", "another unrelated doc with its own words entirely")])
+    ).write.mode("append").parquet(src)
+    stream_leak_gate(spark, src, hashes, dst, ckpt, ngram_k=8).awaitTermination(120)
+    out = ManifestedParquetTable(spark, dst).read()
+    assert out.count() == 3 and out.filter("leaky").count() == 1
+    hashes.unpersist()
