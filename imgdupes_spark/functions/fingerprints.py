@@ -179,8 +179,11 @@ def make_shingles_udf(cfg: DedupeConfig):
         u_sh, u_counts = kernels.unique_per_doc(sh, counts)
         offs = np.concatenate(([0], np.cumsum(u_counts)))
         s64 = u_sh.view(np.int64)
+        # numpy SLICES, not .tolist(): Arrow serializes ndarray-valued rows
+        # directly; materializing ~150 boxed Python ints per doc was pure
+        # overhead on the return path (guide §4.2 — keep batches native)
         return pd.Series(
-            [s64[offs[i] : offs[i + 1]].tolist() for i in range(len(lists))]
+            [s64[offs[i] : offs[i + 1]] for i in range(len(lists))]
         )
 
     return shingles

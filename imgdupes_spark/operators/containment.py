@@ -48,7 +48,7 @@ path's job and are excluded here (strictly smaller content length).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from imgdupes_spark.config import DedupeConfig
@@ -56,10 +56,13 @@ from imgdupes_spark.functions.fingerprints import doc_id_col, tokens_col
 
 
 def _with_shingles(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
-    """(doc_id, content, ln, n_tok, shingles, toks, n_sh): tokenization stays
-    JVM codegen; the per-window shingle fold runs in the numpy kernel UDF
-    (same bits as the JVM shingles_col — set semantics; ~10x faster, see
-    make_shingles_udf)."""
+    """(doc_id, ln, n_tok, shingles, toks, n_sh): tokenization stays JVM
+    codegen; the per-window shingle fold runs in the numpy kernel UDF
+    (same bits as the JVM shingles_col — set semantics). r7 A/B kept the
+    UDF: a flat arrays_zip Horner unroll of the fold (no Python boundary)
+    measured 5.1s vs the UDF's ~1.3s warm at 100k docs — the JVM's
+    per-window slice/struct allocation costs more than the Arrow
+    round-trip the kernel pays."""
     from imgdupes_spark.functions.fingerprints import make_shingles_udf
 
     sh_udf = make_shingles_udf(cfg)
@@ -67,7 +70,6 @@ def _with_shingles(corpus: DataFrame, cfg: DedupeConfig) -> DataFrame:
     return (
         corpus.select(
             doc_id_col(cfg).alias("doc_id"),
-            F.col("content"),
             F.length("content").alias("ln"),
             F.size(token_hashes).alias("n_tok"),
             sh_udf(token_hashes).alias("shingles"),
@@ -104,11 +106,13 @@ def containment_edges(
     n_anchor = max(1, cfg.containment_anchors)
     self_managed = caches is None
     docs = _with_shingles(corpus, cfg)
-    light = docs.drop("content").persist()
+    light = docs.persist()
     light.count()
     if caches is not None:
         caches.append(light)
-    content_cols = docs.select("doc_id", "content")
+    content_cols = corpus.select(
+        doc_id_col(cfg).alias("doc_id"), F.col("content")
+    )
     docs = light
     long_d = F.col("n_tok") >= cfg.shingle_k
 
@@ -120,84 +124,92 @@ def containment_edges(
         ~long_d
     ).isEmpty()
 
-    cont_parts = [
+    # ONE exploded relation serves both sides: for kind 0 the container
+    # index rows ARE the contained side's shingle rows (both = long docs'
+    # distinct shingles), and for kind 1 the short-doc anchor rows are a
+    # subset of the token index. Per-key container counts come from ONE
+    # window over that relation — r6 shaped this as groupBy(key) + join
+    # back, which exchanged the corpus-wide exploded table twice more
+    # (guide §2.4: two operations keyed the same way share one exchange;
+    # same device as lsh._pairs_from_bands' bucket sizes). ``is_short``
+    # marks contained-side eligibility for kind 1.
+    ex_parts = [
         docs.filter(long_d).select(
-            F.col("doc_id").alias("big_id"),
-            F.col("ln").alias("big_ln"),
+            F.col("doc_id").alias("did"),
+            F.col("ln"),
+            F.lit(False).alias("is_short"),
             F.lit(0).alias("kind"),
             F.explode("shingles").alias("key"),
         )
     ]
     if short_docs_present:
-        cont_parts.append(
+        ex_parts.append(
             docs.select(
-                F.col("doc_id").alias("big_id"),
-                F.col("ln").alias("big_ln"),
+                F.col("doc_id").alias("did"),
+                F.col("ln"),
+                (~long_d).alias("is_short"),
                 F.lit(1).alias("kind"),
                 F.explode("toks").alias("key"),
             )
         )
-    container = cont_parts[0]
-    for p in cont_parts[1:]:
-        container = container.unionByName(p)
+    exploded = ex_parts[0]
+    for p in ex_parts[1:]:
+        exploded = exploded.unionByName(p)
+    counted = exploded.withColumn(
+        "key_n", F.count("*").over(Window.partitionBy("kind", "key"))
+    )
+    # hot keys (> max_bucket_size: ubiquitous boilerplate) drop from both
+    # the index and anchor candidacy right here — on the boilerplate-
+    # adversarial corpus that removes every header shingle before the
+    # cache, so the persisted relation holds only cold rows
+    cold = counted.filter(F.col("key_n") <= cfg.max_bucket_size).persist()
+    cold.count()
+    if caches is not None:
+        caches.append(cold)
 
-    key_counts = container.groupBy("kind", "key").agg(F.count("*").alias("key_n"))
-    hot_keys = key_counts.filter(F.col("key_n") > cfg.max_bucket_size).select(
-        "kind", "key"
+    container = cold.select(
+        F.col("did").alias("big_id"),
+        F.col("ln").alias("big_ln"),
+        "kind",
+        "key",
     )
 
     # Contained-side anchors for long docs: the n_anchor RAREST shingles —
-    # rarity read off the container-side key counts (one linear join), NOT
-    # the n_anchor hash-smallest. Any shingle of a contained doc appears in
-    # every true container, so anchor choice is recall-free; choosing by
-    # container frequency bounds the candidate join volume at
-    # sum(key_n of chosen) per doc instead of up to n_anchor*max_bucket_size
-    # when a hash-min anchor lands on near-boilerplate (measured 19x on the
-    # boilerplate-heavy synthetic corpus — see BASELINE.md). key_n is 0 for
-    # shingles in NO container — safe as anchors: a truly contained doc
-    # cannot have one. Hot keys (> max_bucket_size) are excluded as before —
-    # a doc is now unfindable only when ALL its shingles are boilerplate-hot.
-    sh_all = docs.filter(long_d).select(
-        F.col("doc_id").alias("small_id"),
-        F.col("ln").alias("small_ln"),
-        F.explode("shingles").alias("key"),
-    )
-    ranked = (
-        sh_all.join(
-            key_counts.filter(F.col("kind") == 0).select("key", "key_n"),
-            ["key"],
-            "left",
-        )
-        .withColumn("key_n", F.coalesce("key_n", F.lit(0)))
-        .filter(F.col("key_n") <= cfg.max_bucket_size)
-    )
+    # rarity = container-side key count (read off the same window column).
+    # Any shingle of a contained doc appears in every true container, so
+    # anchor choice is recall-free; choosing by container frequency bounds
+    # the candidate join volume at sum(key_n of chosen) per doc instead of
+    # up to n_anchor*max_bucket_size when a hash-min anchor lands on
+    # near-boilerplate (measured 19x on the boilerplate-heavy synthetic
+    # corpus — see BASELINE.md). Hot keys are excluded as before — a doc
+    # is unfindable only when ALL its shingles are boilerplate-hot.
     anchors = (
-        ranked.groupBy("small_id", "small_ln")
+        cold.filter(F.col("kind") == 0)
+        .groupBy("did", "ln")
         .agg(
             F.slice(
                 F.array_sort(F.collect_list(F.struct("key_n", "key"))), 1, n_anchor
             ).alias("picks")
         )
         .select(
-            "small_id",
-            "small_ln",
+            F.col("did").alias("small_id"),
+            F.col("ln").alias("small_ln"),
             F.lit(0).alias("kind"),
             F.explode("picks").alias("p"),
         )
         .select("small_id", "small_ln", "kind", F.col("p.key").alias("key"))
     )
-    if cfg.containment_short_docs:
+    if short_docs_present:
         # short docs: every distinct token hash is an anchor (<= k-1 of them)
-        anchors1 = docs.filter(~long_d).select(
-            F.col("doc_id").alias("small_id"),
+        anchors1 = cold.filter(F.col("is_short")).select(
+            F.col("did").alias("small_id"),
             F.col("ln").alias("small_ln"),
-            F.lit(1).alias("kind"),
-            F.explode("toks").alias("key"),
-        ).join(hot_keys, ["kind", "key"], "left_anti")
+            "kind",
+            "key",
+        )
         anchors = anchors.unionByName(anchors1)
 
     live = anchors
-    container = container.join(hot_keys, ["kind", "key"], "left_anti")
     n_live = live.groupBy("small_id").agg(F.count("*").alias("n_live"))
 
     cand = (
@@ -234,4 +246,5 @@ def containment_edges(
     if self_managed:
         out = out.localCheckpoint(eager=True)
         light.unpersist()
+        cold.unpersist()
     return out

@@ -56,30 +56,62 @@ substring machinery at all — this extends the north-star containment pass
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
+from imgdupes_spark.functions import kernels
 from imgdupes_spark.functions.fingerprints import tokens_col
 
 
 def positional_gram_hashes(content: F.Column, k: int) -> F.Column:
-    """Ordered array of xxhash64 hashes of the k-token rolling grams of
-    ``content`` — index i hashes tokens [i, i+k). Docs with fewer than k
-    tokens yield an empty array. Same zipped-slice formulation as
-    word_ngrams_from_tokens (functions/text.py) — the per-gram lambda
-    touches only the zipped element, so tokenization evaluates once per
-    row, not once per gram."""
-    toks = tokens_col(content)
-    n_grams = F.size(toks) - (k - 1)
-    shifted = [
-        F.slice(toks, i + 1, F.greatest(n_grams, F.lit(0))).alias(f"t{i}")
-        for i in range(k)
-    ]
-    grams = F.transform(
-        F.arrays_zip(*shifted),
-        lambda s: F.xxhash64(F.concat_ws(" ", *[s[f"t{i}"] for i in range(k)])),
-    )
-    return F.when(n_grams >= 1, grams).otherwise(F.array().cast("array<long>"))
+    """Ordered array of 64-bit hashes identifying the k-token rolling grams
+    of ``content`` — index i keys tokens [i, i+k). Docs with fewer than k
+    tokens yield an empty array.
+
+    Tokenization and per-token hashing stay JVM codegen (one ``xxhash64``
+    per token); the k-token rolling combine runs in the shared numpy
+    kernel (kernels.shingle_hashes_batch: Horner fold with SHINGLE_B +
+    splitmix64 — the same batched rolling-hash engine the fingerprint
+    pass uses). The r6 shape built the gram arrays with arrays_zip over k
+    shifted slices and hashed a concat_ws string per gram — profiled at
+    ~3.9s of the 6.3s pass at 115k docs, nearly all of it the JVM
+    slice/zip-struct allocation per window (the same pathology that keeps
+    the containment shingle fold on the kernel; guide §4.2). Gram hash
+    values changed with this move — they are internal candidate keys
+    (detection output depends only on gram EQUALITY, collisions ~2^-64;
+    the SQL oracles compare on gram strings), so results are unchanged.
+    """
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _grams(token_hashes: pd.Series) -> pd.Series:
+        lists = [
+            np.asarray(v, dtype=np.int64) if v is not None else np.empty(0, np.int64)
+            for v in token_hashes
+        ]
+        lengths = np.array([len(t) for t in lists], dtype=np.int64)
+        if lengths.sum() == 0:
+            tok = np.empty(0, dtype=np.uint64)
+        else:
+            tok = np.concatenate([t.view(np.uint64) for t in lists if len(t)])
+        sh, counts = kernels.shingle_hashes_batch(tok, lengths, k)
+        s64 = sh.view(np.int64)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        empty = np.empty(0, dtype=np.int64)
+        # spans semantics: a doc with < k tokens has NO k-gram (the
+        # whole-doc fold the kernel emits for short docs is the
+        # fingerprint pass's unit, not a positional gram)
+        return pd.Series(
+            [
+                s64[offs[i] : offs[i + 1]] if lengths[i] >= k else empty
+                for i in range(len(lists))
+            ]
+        )
+
+    tok_hashes = F.transform(tokens_col(content), lambda t: F.xxhash64(t))
+    return _grams(tok_hashes)
 
 
 def merge_hit_islands(

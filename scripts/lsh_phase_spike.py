@@ -1,0 +1,107 @@
+"""r7 measurement spike (guide §1): break dedupe_lsh_cc into phases and time
+each with its own action so the expensive stage is identified before any
+change. Not part of the bench; numbers are cited in OPTIMIZATION_r07.md.
+
+Usage: python scripts/lsh_phase_spike.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from imgdupes_spark.config import DedupeConfig
+from imgdupes_spark.corpus import synthetic_corpus_spark
+from imgdupes_spark.functions.fingerprints import signatures
+from imgdupes_spark.operators import components as comp_mod
+from imgdupes_spark.operators.lsh import (
+    _pairs_from_bands,
+    all_candidate_edges,
+    doc_rep_map,
+    lsh_candidate_edges,
+    minhash_band_keys,
+    rep_edges,
+    rep_signatures,
+    sha_representatives,
+    simhash_band_keys,
+)
+from imgdupes_spark.session import get_spark
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(master=f"local[{cpus}]", app_name="lsh_phase_spike")
+    sc = spark.sparkContext
+    cfg = DedupeConfig()
+
+    corpus = synthetic_corpus_spark(spark, n).persist()
+    corpus.count()
+    sig = signatures(corpus, cfg).persist()
+    t0 = time.time()
+    sig.count()
+    print(f"signatures: {time.time()-t0:.2f}s", flush=True)
+
+    def timed(name, fn):
+        sc.setJobDescription(name)
+        t0 = time.time()
+        out = fn()
+        print(f"{name}: {time.time()-t0:.2f}s", flush=True)
+        sc.setJobDescription(None)
+        return out
+
+    # phase 1: representatives
+    reps = sha_representatives(sig).persist()
+    doc_rep = doc_rep_map(sig, reps).persist()
+    timed("doc_rep materialize", doc_rep.count)
+    rep_sig = rep_signatures(sig, reps).persist()
+    timed("rep_sig materialize", rep_sig.count)
+
+    # phase 2: band table + bucket-size window
+    from math import comb
+
+    n_sim = comb(cfg.simhash_bands, cfg.simhash_bands - cfg.hamming_d)
+    bands = simhash_band_keys(rep_sig, cfg, 0).unionByName(
+        minhash_band_keys(rep_sig, cfg, n_sim)
+    )
+    timed("band explode count(noop-ish)", bands.count)
+    from pyspark.sql import Window
+
+    b = bands.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("bkey"))
+    ).filter(F.col("bucket_n") > 1)
+    b = b.persist()
+    timed("band window + survivors materialize", b.count)
+
+    # phase 3: pair generation + verify
+    caches: list = []
+    edges = lsh_candidate_edges(rep_sig, cfg, caches)
+    timed("pairs+verify (lsh_candidate_edges count)", edges.count)
+
+    # phase 4: full edge union + dedup + rep remap
+    all_e = rep_edges(
+        all_candidate_edges(sig, cfg, reps=reps, doc_rep=doc_rep, caches=caches),
+        doc_rep,
+    )
+    timed("all_candidate_edges+rep_edges count", all_e.count)
+
+    # phase 5: CC
+    stats: dict = {}
+    t0 = time.time()
+    comps = comp_mod.connected_components(all_e, _stats=stats)
+    comps.count()
+    print(f"connected_components: {time.time()-t0:.2f}s  stats={stats}", flush=True)
+
+    # phase 6: assign
+    from imgdupes_spark.operators.clusters import assign_clusters
+
+    members = assign_clusters(sig, doc_rep, comps)
+    timed("assign_clusters count", members.count)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""r7 A/B spike: duplicate_spans hotness strategies at bench scale.
+
+A = r6 shape: min/max window over Window.partitionBy(gram) — one exchange,
+    but a hot gram is ONE window partition (the VERDICT skew exposure).
+B = partial-agg + join-back: groupBy(gram).agg(min, max) (map-side partial,
+    skew-free) then join grams against the hot set (AQE picks broadcast
+    when the hot set is small, SMJ with skew-split otherwise).
+
+Both produce identical hits; the question is bench-scale cost.
+Usage: PYTHONPATH=. python scripts/spans_hot_spike.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from imgdupes_spark.corpus import synthetic_corpus_spark
+from imgdupes_spark.operators.spans import merge_hit_islands, positional_gram_hashes
+from imgdupes_spark.session import get_spark
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(master=f"local[{cpus}]", app_name="spans_hot_spike")
+    k = 8
+
+    corpus = synthetic_corpus_spark(spark, n).persist()
+    corpus.count()
+    docs = corpus.select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
+    )
+
+    def grams():
+        return docs.select(
+            F.col("doc_id").alias("__doc"),
+            F.posexplode(positional_gram_hashes(F.col("content"), k)).alias(
+                "__pos", "__gh"
+            ),
+        )
+
+    def run_window():
+        wg = Window.partitionBy("__gh")
+        hits = (
+            grams()
+            .select(
+                "__doc",
+                "__pos",
+                (F.min("__doc").over(wg) != F.max("__doc").over(wg)).alias("__hot"),
+            )
+            .filter("__hot")
+            .select("__doc", "__pos")
+        )
+        return merge_hit_islands(hits, k, ["__doc"]).count()
+
+    def run_agg():
+        g = grams()
+        hot = (
+            g.groupBy("__gh")
+            .agg(F.min("__doc").alias("__mn"), F.max("__doc").alias("__mx"))
+            .filter(F.col("__mn") != F.col("__mx"))
+            .select("__gh")
+        )
+        hits = g.join(hot, "__gh", "left_semi").select("__doc", "__pos")
+        return merge_hit_islands(hits, k, ["__doc"]).count()
+
+    for name, fn in (("window", run_window), ("agg+join", run_agg)):
+        legs = []
+        out = None
+        for _ in range(3):
+            t0 = time.time()
+            out = fn()
+            legs.append(round(time.time() - t0, 2))
+        print(f"{name}: spans={out} legs={legs} min={min(legs)}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -89,7 +89,9 @@ def test_contamination_spans_plan_broadcast_no_shuffle_join(spark, corpus):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
-    assert "Python" not in plan
+    # r7: gram hashing runs in the Arrow-batched kernel (spans.py); the
+    # plan must never contain row-at-a-time Python
+    assert "BatchEvalPython" not in plan
 
 
 def test_contamination_empty_benchmark(spark, corpus):

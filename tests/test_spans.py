@@ -152,7 +152,10 @@ def test_tokenization_is_case_and_punct_insensitive(spark):
 def test_plan_no_udf_no_cartesian(spark):
     df = _docs(spark, [(1, "a b c d"), (2, "a b c d")])
     plan = duplicate_spans(df, k=4, content_col="text")._jdf.queryExecution().executedPlan().toString()
-    assert "Python" not in plan  # pure JVM codegen
+    # r7: the rolling gram combine runs in ONE Arrow-batched kernel (the
+    # same shingle engine as the fingerprint pass); never row-at-a-time
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     # min_docs=2 fast path: ONE gram explode (the generic two-pass plans
     # two Generate nodes because the agg and the join side each recompute
@@ -260,7 +263,8 @@ def test_attribution_plan_no_udf_no_join(spark):
         .executedPlan()
         .toString()
     )
-    assert "Python" not in plan
+    assert plan.count("ArrowEvalPython") == 1  # the batched gram kernel
+    assert "BatchEvalPython" not in plan
     assert "Join" not in plan and "Cartesian" not in plan
     # one gram explode feeds both chained gram-hash windows
     assert plan.count("Generate") == 1
