@@ -87,7 +87,13 @@ def connected_components(
     # LAST checkpoint backs the returned DataFrame and stays.
     before = persistent_rdd_ids(spark)
     cur = cur.localCheckpoint(eager=False)
-    prev_sum = _checksum(cur)
+    # r7: no checksum of the RAW edge set — it is compared against nothing
+    # (iteration 1's output is star-oriented and essentially never equals
+    # the input), so the old initial checksum was one full extra pass over
+    # the just-materialized edge pipeline. prev_sum=None makes iteration 1
+    # unconditionally "not converged"; an already-star-shaped input costs
+    # one extra (cheap, small-table) round, every other input saves a job.
+    prev_sum = None
     prev_ids = persistent_rdd_ids(spark) - before
     for it in range(max_iter):
         before = persistent_rdd_ids(spark)

@@ -107,22 +107,24 @@ def containment_edges(
     self_managed = caches is None
     docs = _with_shingles(corpus, cfg)
     light = docs.persist()
-    light.count()
-    if caches is not None:
-        caches.append(light)
     content_cols = corpus.select(
         doc_id_col(cfg).alias("doc_id"), F.col("content")
     )
-    docs = light
     long_d = F.col("n_tok") >= cfg.shingle_k
+    # ONE job materializes the cache AND answers the short-doc probe (r7:
+    # this was a count job followed by a separate isEmpty probe job)
+    probe = light.agg(
+        F.count("*").alias("n"),
+        F.sum((~long_d).cast("int")).alias("n_short"),
+    ).collect()[0]
+    if caches is not None:
+        caches.append(light)
+    docs = light
 
     # the token-level container index costs a second corpus-wide explode —
-    # build it only when the corpus actually HAS short docs (one cheap
-    # limit-1 probe job; corpora of real files usually do, the synthetic
-    # bench tables don't)
-    short_docs_present = cfg.containment_short_docs and not docs.filter(
-        ~long_d
-    ).isEmpty()
+    # build it only when the corpus actually HAS short docs (corpora of
+    # real files usually do, the synthetic bench tables don't)
+    short_docs_present = cfg.containment_short_docs and int(probe.n_short or 0) > 0
 
     # ONE exploded relation serves both sides: for kind 0 the container
     # index rows ARE the contained side's shingle rows (both = long docs'

@@ -43,10 +43,28 @@ def knn_bruteforce(
     double before any sum so results are engine-reproducible (DuckDB oracle
     casts the same way)."""
     v_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    corpus = vectors.select(F.col(id_col).alias("neighbor_id"), v_d.alias("v"))
-    probe = probes.select(F.col(id_col).alias("query_id"), v_d.alias("q"))
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    # r7: norms hoisted out of the nested-loop join — the old shape
+    # re-evaluated sqrt(sum(sq)) of BOTH vectors once per (probe, corpus)
+    # pair; per-vector norms are n+m evaluations instead of 2*n*m, and
+    # na*nb keeps the identical multiply order so cosine is bit-unchanged.
+    corpus = vectors.select(
+        F.col(id_col).alias("neighbor_id"), v_d.alias("v"), norm(v_d).alias("nv")
+    )
+    probe = probes.select(
+        F.col(id_col).alias("query_id"), v_d.alias("q"), norm(v_d).alias("nq")
+    )
     scored = corpus.join(F.broadcast(probe), F.col("neighbor_id") != F.col("query_id"))
-    scored = scored.withColumn("cosine", F.round(_cosine(F.col("q"), F.col("v")), 6))
+    dot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    scored = scored.withColumn(
+        "cosine", F.round(dot / (F.col("nq") * F.col("nv")), 6)
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

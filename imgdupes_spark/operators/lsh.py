@@ -506,8 +506,13 @@ def all_candidate_edges(
         reps = sha_representatives(sig)
     if doc_rep is None:
         doc_rep = doc_rep_map(sig, reps)
+    # eager persist: rep_sig's plan contains the sha groupBy + join
+    # exchanges; a lazy cache referenced by BOTH band-family union branches
+    # re-runs those exchanges once per branch on first touch (r7 A/B:
+    # lsh_cc 15.5s -> 27.4s lazy — cache-miss compute is per-reference,
+    # not shared), so the one-pass eager count is the cheaper shape.
     rep_sig = rep_signatures(sig, reps).persist()
-    rep_sig.count()  # eager: see materialization note in _pairs_from_bands
+    rep_sig.count()
     if caches is not None:
         caches.append(rep_sig)
     spark = sig.sparkSession

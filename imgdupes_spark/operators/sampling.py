@@ -228,12 +228,12 @@ def stratified_sample(
 ) -> DataFrame:
     """EXACT-count stratified sample: ceil(fraction * n) rows from every
     stratum, chosen in hash-key order (deterministic, id-tie-broken).
-    Costs one window sort per stratum plus one broadcast count join —
-    reach for :func:`deterministic_sample` unless the per-stratum count
-    must be exact. Stratum skew is bounded by the window's per-key sort;
-    a single giant stratum sorts within its partitions (Spark's window
-    spills), it does not collapse onto one task's memory like a
-    collect-based quota would.
+    Costs one bucketed rank pass plus one broadcast count join — reach
+    for :func:`deterministic_sample` unless the per-stratum count must
+    be exact. Stratum skew is fenced by construction (r7): ranks come
+    from 256 key-range buckets per stratum plus a prefix-sum offset
+    table, so a dominant stratum never serializes onto one task (the
+    r6 per-stratum row_number window did exactly that).
 
     The quota is INTEGER arithmetic at 1e-6 fraction granularity:
     ceil(n * round(f*1e6) / 1e6) as (n*num + den - 1) div den — a float
@@ -259,7 +259,7 @@ def mixture_sample(
     src0, 25% of src1, 5% of everything else" reweighting every training
     mix specifies), exact ceil(f_s * n_s) per stratum in hash-key order.
     Strata absent from the dict get ``default_fraction`` (0 = drop).
-    Same integer quota arithmetic and window shape as
+    Same integer quota arithmetic and bucketed-rank shape as
     :func:`stratified_sample` (which is this with a constant dict);
     the per-stratum fractions ride the broadcast quota join, so the
     plan is identical whatever the dict size."""
@@ -273,8 +273,7 @@ def mixture_sample(
     num = F.lit(default_num)
     for name, frac in fractions.items():
         num = F.when(F.col(stratum_col) == name, round(frac * den)).otherwise(num)
-    key = split_key_col(F.col(id_col), salt).alias("__key")
-    w = Window.partitionBy(stratum_col).orderBy("__key", id_col)
+    key = split_key_col(F.col(id_col), salt)
     quota = (
         docs.groupBy(stratum_col)
         .agg(F.count("*").alias("__n"))
@@ -284,10 +283,35 @@ def mixture_sample(
             f"(__n * __num + {den - 1}) div {den} AS __quota",
         )
     )
+    # Per-stratum rank WITHOUT a per-stratum window (r7, the shard_by_tokens
+    # bucketing device): rows bucket by the first 2 hex digits of the key
+    # (256 ordered ranges — hex order IS key order, so bucket-major equals
+    # global key order), per-(stratum, bucket) counts roll into exclusive
+    # offsets via a window over the TINY counts table, and the within-bucket
+    # row_number windows are (stratum, bucket) partitions — a dominant
+    # stratum ("web" = 90% of a crawl) sorts in 256 bounded tasks instead of
+    # one. Ranks are identical to the old per-stratum global row_number
+    # (total order (__key, id) with the bucket as its own prefix).
+    keyed = docs.select(
+        "*", key.alias("__key"), F.substring(key, 1, 2).alias("__bkt")
+    )
+    counts = keyed.groupBy(stratum_col, "__bkt").agg(F.count("*").alias("__bn"))
+    w_off = (
+        Window.partitionBy(stratum_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        stratum_col,
+        "__bkt",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_loc = Window.partitionBy(stratum_col, "__bkt").orderBy("__key", id_col)
     return (
-        docs.select("*", key)
-        .withColumn("__rk", F.row_number().over(w))
+        keyed.withColumn("__lr", F.row_number().over(w_loc))
+        .join(F.broadcast(offsets), [stratum_col, "__bkt"])
+        .withColumn("__rk", F.col("__off") + F.col("__lr"))
         .join(F.broadcast(quota), stratum_col)
         .filter(F.col("__rk") <= F.col("__quota"))
-        .drop("__key", "__rk", "__quota")
+        .drop("__key", "__bkt", "__lr", "__off", "__rk", "__quota")
     )

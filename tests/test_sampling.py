@@ -237,3 +237,47 @@ def test_assign_split_plan_no_exchange_no_udf(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_mixture_sample_dominant_stratum_bucketed_rank(spark):
+    """r7 skew fence: a dominant stratum must NOT serialize onto one
+    row_number task — ranks come from 256 key-range buckets + a prefix-sum
+    offset table. Output must equal the serial per-stratum hash-order quota
+    exactly (same rows as the r6 global-window formulation)."""
+    import hashlib
+
+    from imgdupes_spark.operators.sampling import mixture_sample
+
+    n = 30_000
+    d = spark.createDataFrame(
+        [(i, "web" if i % 100 else "rare") for i in range(n)],
+        "doc_id long, lang string",
+    )
+    out = mixture_sample(d, "lang", {"web": 0.01, "rare": 0.5})
+    got = sorted(r.doc_id for r in out.collect())
+
+    # serial reference: per stratum, sort by (48-bit sha key, id), take quota
+    def key(i):
+        return hashlib.sha256(f"{i}:sample:v1".encode()).hexdigest()[:12]
+
+    expect = []
+    for lang, frac in (("web", 0.01), ("rare", 0.5)):
+        ids = [i for i in range(n) if ("web" if i % 100 else "rare") == lang]
+        quota = (len(ids) * round(frac * 1_000_000) + 999_999) // 1_000_000
+        ids.sort(key=lambda i: (key(i), i))
+        expect += ids[:quota]
+    assert got == sorted(expect)
+
+    plan = (
+        mixture_sample(d, "lang", {"web": 0.01})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the rank window must be (stratum, bucket)-partitioned, never a
+    # whole-stratum (or single) partition
+    assert "SinglePartition" not in plan
+    import re
+
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan):
+        assert "__bkt" in m.group(1)
