@@ -75,11 +75,26 @@ def main() -> None:
         corpus.count()
         sig = signatures(corpus, cfg)
         bcorpus, _ = boilerplate_corpus_spark(spark, boiler_n)
+        # caches list => containment returns its LAZY plan (no localCheckpoint
+        # truncation), so the file shows the real operator shape
+        caches: list = []
+        contain = containment_edges(bcorpus, cfg, caches)
+        # near_dup_members checkpoints inside dedupe_members; the informative
+        # plan for it is the full candidate-edge pipeline, captured here on
+        # the same corpus shape the query uses
+        from imgdupes_spark.operators.lsh import all_candidate_edges
+
+        nd_corpus = entry_mod._corpus_shape(
+            entry_mod._dup_docs(entry_mod._prep(spark), sf_dir)
+        )
+        nd_sig = signatures(nd_corpus, cfg).persist()
+        nd_sig.count()
+        nd_edges = all_candidate_edges(nd_sig, cfg, corpus=nd_corpus, caches=caches)
         plans = {
             "signatures": sig,
-            "containment_boiler": containment_edges(bcorpus, cfg),
+            "containment_boiler": contain,
             "duplicate_spans_corpus": duplicate_spans(span_input(corpus), k=8),
-            "near_dup_members": entry_mod.queries()["near_dup_members"](spark, sf_dir),
+            "near_dup_members": nd_edges,
             "token_shards_corpus": __import__(
                 "imgdupes_spark.operators.sampling", fromlist=["shard_by_tokens"]
             ).shard_by_tokens(shard_input(corpus), 100_000),

@@ -511,6 +511,21 @@ def all_candidate_edges(
     # re-runs those exchanges once per branch on first touch (r7 A/B:
     # lsh_cc 15.5s -> 27.4s lazy — cache-miss compute is per-reference,
     # not shared), so the one-pass eager count is the cheaper shape.
+    # Overlap (guide §2.6): the containment pass's materialization jobs
+    # (shingle-projection cache + short-doc probe + cold-key cache) are
+    # independent of every LSH job until the final union — kick them off
+    # on a driver thread so the scheduler back-fills executors while the
+    # rep_sig/band caches materialize. Spark actions are thread-safe;
+    # ``caches``.append is GIL-atomic.
+    contain_future = None
+    pool = None
+    if corpus is not None and cfg.containment_enabled:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from imgdupes_spark.operators.containment import containment_edges
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        contain_future = pool.submit(containment_edges, corpus, cfg, caches)
     rep_sig = rep_signatures(sig, reps).persist()
     rep_sig.count()
     if caches is not None:
@@ -534,10 +549,9 @@ def all_candidate_edges(
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.unionByName(p)
-    if corpus is not None and cfg.containment_enabled:
-        from imgdupes_spark.operators.containment import containment_edges
-
-        unioned = unioned.unionByName(containment_edges(corpus, cfg, caches))
+    if contain_future is not None:
+        unioned = unioned.unionByName(contain_future.result())
+        pool.shutdown()
     ranked = (
         unioned
         .withColumn(
