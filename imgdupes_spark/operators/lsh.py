@@ -121,16 +121,9 @@ def minhash_bands(rep_sig: DataFrame, cfg: DedupeConfig) -> DataFrame:
     )
 
 
-def simhash_band_keys(rep_sig: DataFrame, cfg: DedupeConfig, offset: int = 0) -> DataFrame:
-    """(doc_id, bkey) simhash combination keys pre-hashed to ONE 8-byte
-    column inside the array — the hot-path variant of simhash_bands.
-
-    Two measured generation savings at 119M rows (1.7M docs, local[16]):
-    dropping the simhash payload column from the exploded rows 30.5s -> 17.3s,
-    and folding the (band_id, band_key) -> xxhash64 step into the array so the
-    explode emits final join keys 17.3s -> 16.2s. A bkey hash collision can
-    only merge two buckets (extra candidates, removed at verify) — never lose
-    a pair. ``offset`` keeps key families disjoint when unioned."""
+def _simhash_key_exprs(cfg: DedupeConfig, offset: int = 0) -> list:
+    """Pre-hashed 8-byte simhash combination-key expressions (one per
+    C(b, b-d) combo) — see simhash_band_keys."""
     from itertools import combinations
 
     r = cfg.simhash_band_bits
@@ -147,21 +140,42 @@ def simhash_band_keys(rep_sig: DataFrame, cfg: DedupeConfig, offset: int = 0) ->
         for i in combo:
             key = key * F.lit(mask + 1) + blocks[i]
         keys.append(F.xxhash64(F.lit(offset + ci), key))
-    return rep_sig.select("doc_id", F.explode(F.array(*keys)).alias("bkey"))
+    return keys
 
 
-def minhash_band_keys(rep_sig: DataFrame, cfg: DedupeConfig, offset: int = 0) -> DataFrame:
-    """(doc_id, bkey) minhash band keys, pre-hashed (see simhash_band_keys;
-    element_at extraction per minhash_bands)."""
+def _minhash_key_exprs(cfg: DedupeConfig, offset: int = 0) -> list:
+    """Pre-hashed 8-byte minhash band-key expressions (element_at
+    extraction per minhash_bands)."""
     rpb = cfg.minhash_rows_per_band
-    keys = [
+    return [
         F.xxhash64(
             F.lit(offset + i),
             *[F.element_at(F.col("minhash"), i * rpb + j + 1) for j in range(rpb)],
         )
         for i in range(cfg.minhash_bands)
     ]
-    return rep_sig.select("doc_id", F.explode(F.array(*keys)).alias("bkey"))
+
+
+def simhash_band_keys(rep_sig: DataFrame, cfg: DedupeConfig, offset: int = 0) -> DataFrame:
+    """(doc_id, bkey) simhash combination keys pre-hashed to ONE 8-byte
+    column inside the array — the hot-path variant of simhash_bands.
+
+    Two measured generation savings at 119M rows (1.7M docs, local[16]):
+    dropping the simhash payload column from the exploded rows 30.5s -> 17.3s,
+    and folding the (band_id, band_key) -> xxhash64 step into the array so the
+    explode emits final join keys 17.3s -> 16.2s. A bkey hash collision can
+    only merge two buckets (extra candidates, removed at verify) — never lose
+    a pair. ``offset`` keeps key families disjoint when unioned."""
+    return rep_sig.select(
+        "doc_id", F.explode(F.array(*_simhash_key_exprs(cfg, offset))).alias("bkey")
+    )
+
+
+def minhash_band_keys(rep_sig: DataFrame, cfg: DedupeConfig, offset: int = 0) -> DataFrame:
+    """(doc_id, bkey) minhash band keys, pre-hashed (see simhash_band_keys)."""
+    return rep_sig.select(
+        "doc_id", F.explode(F.array(*_minhash_key_exprs(cfg, offset))).alias("bkey")
+    )
 
 
 def _pairs_from_bands(
@@ -404,14 +418,17 @@ def lsh_candidate_edges(
     from math import comb
 
     n_sim_combos = comb(cfg.simhash_bands, cfg.simhash_bands - cfg.hamming_d)
-    keys = []
+    # ONE projection + ONE explode over the concatenated key families (r7):
+    # the r6 union of per-family band tables scanned the rep_sig cache once
+    # per family; identical (doc_id, bkey) rows, one cache scan.
+    key_exprs = []
     if "simhash" in cfg.passes:
-        keys.append(simhash_band_keys(rep_sig, cfg, offset=0))
+        key_exprs += _simhash_key_exprs(cfg, offset=0)
     if "minhash" in cfg.passes:
-        keys.append(minhash_band_keys(rep_sig, cfg, offset=n_sim_combos))
-    bands = keys[0]
-    for k in keys[1:]:
-        bands = bands.unionByName(k)
+        key_exprs += _minhash_key_exprs(cfg, offset=n_sim_combos)
+    bands = rep_sig.select(
+        "doc_id", F.explode(F.array(*key_exprs)).alias("bkey")
+    )
 
     pairs = _pairs_from_bands(bands, None, cfg, caches).dropDuplicates(["src", "dst"])
     sigs = rep_sig.select("doc_id", "simhash", "minhash")
