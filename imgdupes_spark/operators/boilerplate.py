@@ -85,23 +85,25 @@ def strip_boilerplate_lines(
     common case: real corpora have few lines shared by >= min_docs docs).
     A larger hot set would serialize a multi-MB plan and knock the filter
     out of codegen, so the dense case switches to the join formulation:
-    explode (doc, pos, line), broadcast LEFT ANTI join against the hot-hash
-    set (re-read as a LocalTableScan from the single driver collect — the
-    hot-line aggregation never runs twice), reassemble per doc with a
-    sort-free array_sort(collect_list), then LEFT JOIN the aggregation back
+    explode (doc, pos, line), broadcast LEFT ANTI join against the
+    DISTRIBUTED hot-hash set, reassemble per doc with a sort-free
+    array_sort(collect_list), then LEFT JOIN the aggregation back
     onto the doc spine so a doc whose every line is boilerplate survives as
     the empty string (the operator's motivating case: pure license-header
     files). One content-bearing shuffle, which is inherent when rewriting
     against an unbounded rule set. Results are identical (pinned by
-    tests)."""
-    # Driver-materialize the hot set exactly once. A broadcast join would
-    # collect it to the driver anyway; doing it eagerly lets one
-    # computation serve both the strategy decision and the strip.
+    tests).
+
+    Driver safety (r6 advice item 2): the Python-side collect is BOUNDED
+    at ``max_literal_lines + 1`` rows — it only decides the strategy and
+    feeds the sparse ``isin`` literal; a dense hot set never materializes
+    as a Python list. The dense path broadcasts the distributed hot-line
+    DataFrame (JVM broadcast limits fail loudly, never a silent driver
+    OOM)."""
+    hot_df_all = hot_lines(docs, min_docs, id_col, content_col).select("line_hash")
     hashes = [
         int(r.line_hash)
-        for r in hot_lines(docs, min_docs, id_col, content_col)
-        .select("line_hash")
-        .collect()
+        for r in hot_df_all.limit(max_literal_lines + 1).collect()
     ]
     lines = _trimmed_lines(F.col(content_col))
     out_cols = [c for c in docs.columns if c != content_col]
@@ -119,13 +121,12 @@ def strip_boilerplate_lines(
             (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_dropped"),
         )
 
-    # dense hot set: broadcast anti-join path. The join key is a pure
-    # equality on the line hash (empty lines get a NULL key, and NULL never
-    # equals — they survive the anti-join) so the plan is a
+    # dense hot set: broadcast anti-join path against the DISTRIBUTED
+    # hot-line set (never a driver-side list — r6 advice item 2). The join
+    # key is a pure equality on the line hash (empty lines get a NULL key,
+    # and NULL never equals — they survive the anti-join) so the plan is a
     # BroadcastHashJoin, never a nested-loop over a mixed condition.
-    hot_df = docs.sparkSession.createDataFrame(
-        [(h,) for h in hashes], "__lh long"
-    )
+    hot_df = hot_df_all.select(F.col("line_hash").alias("__lh"))
     exploded = docs.select(
         F.col(id_col).alias("__doc"),
         F.posexplode(lines).alias("__pos", "__ln"),

@@ -342,6 +342,13 @@ def knn_ivf(
     float-accumulation order is not portably reproducible, so it's left
     as an offline option; the query plan is identical either way.
 
+    Id-type contract (r6 advice item 3): the IVF family requires an
+    INTEGRAL ``id_col`` — the cell-assignment argmax tiebreak uses
+    ``bitwise_not(cell_id)`` and the persisted pivot schema pins
+    ``cell_id long`` — whereas knn_bruteforce/knn_lsh accept any
+    orderable id type. String ids raise an AnalysisException here;
+    hash them to longs first (doc_id_col) or use the RP family.
+
     Assignment is one broadcast join against the pivot table plus a
     map-side argmax (max of (cosine, ~cell_id) structs — the bitwise NOT
     makes min-id the tiebreak with no negation overflow), so the only

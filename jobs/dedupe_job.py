@@ -91,7 +91,10 @@ def main() -> None:
     corpus = load_corpus(spark, path=args.input, table=args.table, fmt=args.format)
     pipe = DedupePipeline(spark, cfg, args.workdir)
     members = pipe.run(corpus, resume=not args.no_resume)
-    if args.curation or args.benchmark or args.span_min_docs:
+    # --leak-spans alone must reach run_curation so its loud
+    # "requires a benchmark" ValueError fires instead of a silent no-op
+    # (r6 advice item 1)
+    if args.curation or args.benchmark or args.span_min_docs or args.leak_spans:
         bench = spark.read.parquet(args.benchmark) if args.benchmark else None
         pipe.run_curation(
             corpus,

@@ -235,13 +235,14 @@ def test_strip_boilerplate_lines(spark):
     )
     assert lit_rows == join_rows
     # the join path's plan really is a broadcast hash anti-join (no
-    # nested-loop fallback from a mixed join condition), and the hot-line
-    # aggregation (the only countDistinct in the operator) is NOT
-    # recomputed inside the strip plan — the collected hot set re-enters
-    # as a local relation
+    # nested-loop fallback from a mixed join condition). r7 (advice item
+    # 2): the dense path broadcasts the DISTRIBUTED hot-line aggregation —
+    # the hot set is never materialized as a Python list beyond the
+    # bounded strategy probe — so the aggregation legitimately appears
+    # inside the strip plan feeding the BroadcastExchange.
     plan = strip_boilerplate_lines(
         docs, min_docs=6, max_literal_lines=0
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "distinct" not in plan.lower()
+    assert "BroadcastExchange" in plan
