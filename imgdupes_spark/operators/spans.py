@@ -33,9 +33,12 @@ Scale shape (the part that matters at 100 TB):
            positions (running max of interval ends via a window frame),
            then min/max per island. Rows are (doc, pos) pairs.
 
-Everything is whole-stage-codegen DataFrame ops — no UDFs, no driver-side
-collection, no suffix array. Per-doc work is linear in tokens; cross-doc
-work is linear in hot-gram hits.
+Everything except the gram combine is whole-stage-codegen DataFrame ops;
+the rolling k-token combine runs in ONE Arrow-batched numpy kernel (the
+fingerprint pass's shingle engine — r7: the per-window JVM slice/zip
+formulation profiled at ~2/3 of the pass, see OPTIMIZATION_r07.md). No
+row-at-a-time Python, no driver-side collection, no suffix array. Per-doc
+work is linear in tokens; cross-doc work is linear in hot-gram hits.
 
 :func:`attribute_duplicate_spans` adds canonical-partner provenance per
 span; :func:`strip_duplicate_spans` is the keep-one-occurrence action;
